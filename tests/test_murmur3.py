@@ -1,0 +1,90 @@
+"""Unit tests for the MurmurHash3 x64 128 kernel.
+
+Mirrors the reference's test style (``hash/MurmurHash3Test.java``): null/empty
+inputs → null, seed variants, type coverage — plus cross-validation of the
+vectorized numpy kernel against the independent scalar implementation.
+"""
+
+import numpy as np
+import pytest
+
+from datasketches_pig_spark.functions.murmur3 import (
+    murmur3_bytes_batch,
+    murmur3_long_batch,
+    murmur3_x64_128,
+    murmur3_x64_128_fixed,
+)
+
+
+def test_empty_input_seed_zero_is_fmix_of_seed():
+    # With seed 0 and no data, the algorithm collapses to (0, 0).
+    assert murmur3_x64_128(b"", 0) == (0, 0)
+
+
+def test_scalar_deterministic_and_seed_sensitive():
+    h_a = murmur3_x64_128(b"hello world", 0)
+    assert h_a == murmur3_x64_128(b"hello world", 0)
+    assert h_a != murmur3_x64_128(b"hello world", 9001)
+    assert h_a != murmur3_x64_128(b"hello worlD", 0)
+
+
+def test_scalar_outputs_are_uint64():
+    for data in [b"a", b"0123456789abcdef", b"x" * 1000]:
+        h1, h2 = murmur3_x64_128(data, 9001)
+        assert 0 <= h1 <= 0xFFFFFFFFFFFFFFFF
+        assert 0 <= h2 <= 0xFFFFFFFFFFFFFFFF
+
+
+@pytest.mark.parametrize("length", [1, 2, 7, 8, 9, 15, 16, 17, 24, 31, 32, 33, 100, 255])
+@pytest.mark.parametrize("seed", [0, 1, 9001, 0xFFFFFFFF])
+def test_vectorized_matches_scalar_all_tail_lengths(length, seed):
+    rng = np.random.default_rng(42 + length)
+    batch = rng.integers(0, 256, size=(50, length), dtype=np.uint8)
+    h1, h2 = murmur3_x64_128_fixed(batch, seed)
+    for i in range(batch.shape[0]):
+        e1, e2 = murmur3_x64_128(batch[i].tobytes(), seed)
+        assert h1[i] == e1, f"h1 mismatch len={length} row={i}"
+        assert h2[i] == e2, f"h2 mismatch len={length} row={i}"
+
+
+def test_bytes_batch_null_and_empty_are_invalid():
+    # null/empty → null, per hash/MurmurHash3.java:168-181
+    h1, h2, valid = murmur3_bytes_batch([b"abc", None, b"", b"abc"], seed=9001)
+    assert valid.tolist() == [True, False, False, True]
+    assert h1[0] == h1[3] and h2[0] == h2[3]
+    e1, e2 = murmur3_x64_128(b"abc", 9001)
+    assert (h1[0], h2[0]) == (e1, e2)
+
+
+def test_bytes_batch_mixed_lengths():
+    vals = [b"a", b"ab", b"abc", b"a" * 40, b"b" * 40]
+    h1, h2, valid = murmur3_bytes_batch(vals, seed=7)
+    assert valid.all()
+    for i, v in enumerate(vals):
+        assert (int(h1[i]), int(h2[i])) == murmur3_x64_128(v, 7)
+
+
+def test_long_batch_matches_little_endian_bytes():
+    vals = np.array([0, 1, -1, 2**63 - 1, -(2**63), 9001], dtype=np.int64)
+    h1, h2 = murmur3_long_batch(vals, seed=9001)
+    for i, v in enumerate(vals):
+        raw = int(np.uint64(vals[i].view(np.uint64))).to_bytes(8, "little")
+        assert (int(h1[i]), int(h2[i])) == murmur3_x64_128(raw, 9001)
+
+
+def test_string_utf8_rule():
+    # strings are hashed as their UTF-8 encoding (hash/MurmurHash3.java:179)
+    s = "héllo — ünïcode"
+    h1, h2, valid = murmur3_bytes_batch([s.encode("utf-8")], seed=0)
+    assert valid[0]
+    assert (int(h1[0]), int(h2[0])) == murmur3_x64_128(s.encode("utf-8"), 0)
+
+
+def test_distribution_sanity():
+    # 64k sequential longs should spread ~uniformly over 16 buckets (χ² sanity)
+    vals = np.arange(65536, dtype=np.int64)
+    h1, _ = murmur3_long_batch(vals, seed=9001)
+    counts = np.bincount((h1 >> np.uint64(60)).astype(np.int64), minlength=16)
+    expected = 65536 / 16
+    chi2 = ((counts - expected) ** 2 / expected).sum()
+    assert chi2 < 60, f"suspicious bucket skew: {counts}"
