@@ -20,10 +20,10 @@ from dataclasses import asdict, dataclass, field
 class DedupConfig:
     # --- shingling ---
     shingle_k_text: int = 5          # byte 5-grams over normalized transcript
-    shingle_k_audio: int = 4         # k-grams over the quantized audio feature stream
+    shingle_k_audio: int = 2         # k-grams over the RLE note-symbol stream
     audio_frame_ms: int = 25         # analysis frame length for PCM features
     audio_hop_ms: int = 10           # frame hop
-    audio_quant_levels: int = 16     # energy quantization alphabet size
+    audio_min_run: int = 2           # min frames per kept symbol run (RLE)
 
     # --- signatures ---
     num_perm: int = 128              # k-permutation MinHash width (LSH banding)
@@ -32,8 +32,12 @@ class DedupConfig:
     rows_per_band: int = 4           # num_perm == band_count * rows_per_band
     seed: int = 9001                 # MurmurHash3 seed (dictionary.html:48-52)
 
-    # --- candidate verification ---
-    jaccard_threshold: float = 0.7   # exact-Jaccard accept bar
+    # --- candidate verification (composite rule, see operators/verify.py) ---
+    jaccard_threshold: float = 0.7   # both-modalities-strong accept bar
+    near_exact_threshold: float = 0.95  # one modality near-exact …
+    weak_support_threshold: float = 0.25  # … the other above the noise floor
+                                     # (negatives ≤ ~0.13/0.20 exact; ≥4σ of
+                                     # KMV estimation noise below this bar)
     simhash_max_hamming: int = 12    # SimHash prefilter (of 64 bits)
     snr_db: float = 30.0             # decoded-PCM invariant bar
     max_bucket_size: int = 64        # LSH bucket cap before salting/split

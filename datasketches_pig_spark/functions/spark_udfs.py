@@ -1,0 +1,104 @@
+"""Arrow-vectorized Spark UDFs over the murmur kernel — the engine's analog of
+the reference's ``hash.MurmurHash3`` Pig UDF (``pig/hash/MurmurHash3.java:45``):
+128-bit result (h0, h1) plus optional modulo of the unsigned 128-bit value,
+strings UTF-8 encoded first (``:179``), null/empty → null (``:168-181``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+from pyspark.sql.functions import pandas_udf
+
+from datasketches_pig_spark.functions.murmur3 import (
+    murmur3_bytes_batch,
+    murmur3_long_batch,
+)
+
+SIGN_FLIP = np.uint64(1) << np.uint64(63)
+
+
+def _hash_series(s: pd.Series, seed: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Hash a pandas Series by dtype: int64 → 8-byte LE; everything else via
+    its canonical byte representation (strings UTF-8, bytes raw)."""
+    if pd.api.types.is_integer_dtype(s.dtype) and not s.isna().any():
+        h1, h2 = murmur3_long_batch(s.to_numpy(dtype=np.int64), seed)
+        return h1, h2, np.ones(len(s), dtype=bool)
+    vals: list[bytes | None] = []
+    for v in s:
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            vals.append(None)
+        elif isinstance(v, (bytes, bytearray)):
+            vals.append(bytes(v))
+        elif isinstance(v, str):
+            vals.append(v.encode("utf-8"))
+        elif isinstance(v, (int, np.integer)):
+            vals.append(int(np.int64(v)).to_bytes(8, "little", signed=True))
+        elif isinstance(v, (float, np.floating)):
+            d = float(v)
+            d = 0.0 if d == 0.0 else d  # -0.0 → +0.0 canonicalization
+            vals.append(np.float64(d).tobytes())
+        else:
+            vals.append(str(v).encode("utf-8"))
+    return murmur3_bytes_batch(vals, seed)
+
+
+def murmur3_h1(col, seed: int = 9001) -> Column:
+    """Column UDF: first 64 bits of murmur3-128, as signed int64 (null for
+    null/empty input)."""
+
+    @pandas_udf("long")
+    def _udf(s: pd.Series) -> pd.Series:
+        h1, _, valid = _hash_series(s, seed)
+        out = pd.Series(h1.view(np.int64))
+        out[~valid] = None
+        return out
+
+    return _udf(col)
+
+
+def murmur3_h1_ordered(col, seed: int = 9001) -> Column:
+    """Like murmur3_h1 but with the sign bit flipped, so signed int64 ordering
+    equals unsigned uint64 ordering — the representation the KMV/theta sketch
+    layer stores (bottom-k by unsigned hash via plain ORDER BY)."""
+
+    @pandas_udf("long")
+    def _udf(s: pd.Series) -> pd.Series:
+        h1, _, valid = _hash_series(s, seed)
+        out = pd.Series((h1 ^ SIGN_FLIP).view(np.int64))
+        out[~valid] = None
+        return out
+
+    return _udf(col)
+
+
+def murmur3_128(col, seed: int = 9001, divisor: int | None = None) -> Column:
+    """Full reference-parity UDF: (h0 long, h1 long, mod int) struct; ``mod``
+    is the unsigned 128-bit value modulo ``divisor`` (null if no divisor) —
+    the LSH band→bucket assignment primitive (``pig/hash/MurmurHash3.java:85-101``)."""
+
+    @pandas_udf("struct<h0: long, h1: long, mod: int>")
+    def _udf(s: pd.Series) -> pd.DataFrame:
+        h1, h2, valid = _hash_series(s, seed)
+        mod = np.zeros(len(s), dtype=np.int64)
+        if divisor:
+            # (h2·2^64 + h1) mod d, using python ints for the 128-bit fold
+            mod = np.array(
+                [((int(b) << 64) | int(a)) % divisor for a, b in zip(h1, h2)],
+                dtype=np.int64,
+            )
+        out = pd.DataFrame(
+            {
+                "h0": pd.Series(h1.view(np.int64)),
+                "h1": pd.Series(h2.view(np.int64)),
+                "mod": pd.Series(mod, dtype="int64").astype("int32"),
+            }
+        )
+        out.loc[~valid, ["h0", "h1", "mod"]] = None
+        if not divisor:
+            out["mod"] = None
+        return out
+
+    return _udf(col)

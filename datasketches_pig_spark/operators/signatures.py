@@ -1,0 +1,149 @@
+"""Signature kernels: bottom-k KMV (the Theta/KMV semantics of
+``pig/theta/DataToSketch.java`` — k smallest hash values, exact below k),
+k-permutation MinHash for LSH banding, and 64-bit SimHash fingerprints.
+
+All kernels take a batch of clips as one concatenated uint64 hash array plus
+per-clip counts and use ``minimum.reduceat`` / segment tricks — no per-shingle
+Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from datasketches_pig_spark.config import DedupConfig
+from datasketches_pig_spark.functions.murmur3 import murmur3_long_batch
+
+U64 = np.uint64
+_MAX_U64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _segment_starts(counts: np.ndarray) -> np.ndarray:
+    return np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# bottom-k (KMV) — the Theta-sketch analog
+# ---------------------------------------------------------------------------
+
+def kmv_bottom_k(hashes: np.ndarray, k: int) -> np.ndarray:
+    """k smallest distinct hash values, ascending.  Exact mode when n < k
+    (all values retained — ``dictionary.html:62-63``)."""
+    u = np.unique(hashes)  # unique also sorts
+    return u[:k]
+
+
+def kmv_jaccard(a: np.ndarray, b: np.ndarray, k: int) -> float:
+    """KMV Jaccard estimate from two bottom-k sketches (ascending uint64).
+
+    Take the k smallest of the union; the fraction of those present in both
+    sketches estimates J.  When both sketches are exact (|a|,|b| < k) this IS
+    the exact Jaccard — the exact-mode shortcut the reference tests rely on
+    (``theta/DataToSketchTest.java:137``).
+    """
+    if len(a) == 0 or len(b) == 0:
+        return 0.0
+    union = np.union1d(a, b)[:k]
+    inter = np.intersect1d(a, b, assume_unique=True)
+    n_hits = np.searchsorted(inter, union[-1], side="right")
+    return float(n_hits) / float(len(union)) if len(union) else 0.0
+
+
+def kmv_distinct_estimate(sketch: np.ndarray, k: int) -> float:
+    """KMV distinct-count estimate: exact when retained < k, else
+    (k-1) / theta where theta = kth smallest / 2^64."""
+    n = len(sketch)
+    if n < k:
+        return float(n)
+    theta = (float(sketch[k - 1]) + 1.0) / 2.0**64
+    return (k - 1) / theta
+
+
+# ---------------------------------------------------------------------------
+# k-permutation MinHash (for LSH banding)
+# ---------------------------------------------------------------------------
+
+def make_perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic universal-hash parameters derived from the murmur kernel
+    itself (hash of 0..num_perm-1 with two seed variants): a odd, b arbitrary."""
+    idx = np.arange(num_perm, dtype=np.int64)
+    a, _ = murmur3_long_batch(idx, seed=seed)
+    b, _ = murmur3_long_batch(idx, seed=seed + 1)
+    a = a | U64(1)  # odd multipliers
+    return a, b
+
+
+def minhash_signatures(
+    hashes: np.ndarray, counts: np.ndarray, num_perm: int, seed: int
+) -> np.ndarray:
+    """(total,) uint64 shingle hashes + per-clip counts → (n_clips, num_perm)
+    MinHash signature matrix.  Empty clips get all-max signatures.
+
+    Permutation i is the universal rehash h → a_i*h + b_i (mod 2^64); the
+    signature entry is the per-clip minimum, computed with minimum.reduceat
+    per permutation (vectorized over all shingles of the whole batch).
+    """
+    n_clips = len(counts)
+    a, b = make_perm_params(num_perm, seed)
+    sig = np.full((n_clips, num_perm), _MAX_U64, dtype=U64)
+    nz = counts > 0
+    if not nz.any():
+        return sig
+    starts = _segment_starts(counts)
+    h = hashes.astype(U64, copy=False)
+    starts_nz = starts[nz]
+    for i in range(num_perm):
+        v = h * a[i] + b[i]
+        mins = np.minimum.reduceat(v, starts_nz)
+        sig[nz, i] = mins
+    return sig
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit)
+# ---------------------------------------------------------------------------
+
+def simhash64(hashes: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """(total,) uint64 shingle hashes + per-clip counts → (n_clips,) int64
+    SimHash fingerprints (bit j set iff sum over shingles of ±1 at bit j > 0)."""
+    n_clips = len(counts)
+    out = np.zeros(n_clips, dtype=np.int64)
+    nz = counts > 0
+    if not nz.any():
+        return out
+    starts_nz = _segment_starts(counts)[nz]
+    cnt = counts[nz].astype(np.int64)
+    h = hashes.astype(U64, copy=False)
+    fp = np.zeros(len(cnt), dtype=U64)
+    # one reduceat per bit keeps peak memory at O(total) instead of O(total*64)
+    for j in range(64):
+        bit = ((h >> U64(j)) & U64(1)).astype(np.int64)
+        sums = np.add.reduceat(bit, starts_nz)
+        fp |= ((2 * sums > cnt).astype(U64)) << U64(j)
+    out[nz] = fp.view(np.int64)
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of XOR for int64/uint64 arrays."""
+    x = (np.asarray(a).astype(np.int64).view(U64) ^ np.asarray(b).astype(np.int64).view(U64))
+    # SWAR popcount
+    x = x - ((x >> U64(1)) & U64(0x5555555555555555))
+    x = (x & U64(0x3333333333333333)) + ((x >> U64(2)) & U64(0x3333333333333333))
+    x = (x + (x >> U64(4))) & U64(0x0F0F0F0F0F0F0F0F)
+    return ((x * U64(0x0101010101010101)) >> U64(56)).astype(np.int64)
+
+
+def band_hashes(sig: np.ndarray, band_count: int, rows_per_band: int, seed: int) -> np.ndarray:
+    """(n_clips, num_perm) signature matrix → (n_clips, band_count) uint64
+    band-bucket hashes (murmur over each band's 8*r bytes, fixed length)."""
+    from datasketches_pig_spark.functions.murmur3 import murmur3_x64_128_fixed
+
+    n = sig.shape[0]
+    out = np.empty((n, band_count), dtype=U64)
+    for b in range(band_count):
+        chunk = np.ascontiguousarray(sig[:, b * rows_per_band : (b + 1) * rows_per_band])
+        data = np.ascontiguousarray(chunk.view(np.uint8).reshape(n, 8 * rows_per_band))
+        h1, _ = murmur3_x64_128_fixed(data, seed + 131 * (b + 1))
+        out[:, b] = h1
+    return out

@@ -1,0 +1,161 @@
+"""Spark-facing pipeline stages (Arrow-batched ``mapInPandas`` operators).
+
+Stage contract at scale: each stage is a *narrow* transformation per clip —
+decode, shingle and sign happen in a single pass so decoded PCM never crosses
+a stage/shuffle boundary.  Only fixed-size artifacts (signatures, sketches,
+fingerprints) leave the pass, mirroring the reference's rule that the only IR
+crossing the wire is the compact serialized sketch (``pig/theta/PigUtil.java:46-60``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from datasketches_pig_spark.audioops.codecs import decode_clip
+from datasketches_pig_spark.config import DedupConfig
+from datasketches_pig_spark.functions.murmur3 import murmur3_bytes_batch
+from datasketches_pig_spark.operators.shingle import (
+    audio_shingle_hashes,
+    text_shingle_hashes,
+)
+from datasketches_pig_spark.operators.signatures import (
+    band_hashes,
+    kmv_bottom_k,
+    minhash_signatures,
+    simhash64,
+)
+
+DECODE_SCHEMA = "clip_id string, pcm binary, sr_hz int, n_samples int, transcript string"
+
+SIGNATURE_SCHEMA = (
+    "clip_id string, "
+    "exact_key long, "
+    "text_minhash array<long>, text_kmv array<long>, text_simhash long, n_text_shingles int, "
+    "audio_minhash array<long>, audio_kmv array<long>, audio_simhash long, n_audio_shingles int, "
+    "transcript string, dur_ms int"
+)
+
+
+def decode_stage(clips: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
+    """Standalone decode operator: clips → float32 PCM (little-endian bytes).
+
+    Used by the per-row invariant tests (SNR ≥ 30 dB, transcript equality);
+    the production signature path fuses decoding into ``signature_stage`` so
+    PCM is never materialized.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pcms = [
+                decode_clip(b, c, int(s)).astype("<f4").tobytes()
+                for b, c, s in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"],
+                    "pcm": pcms,
+                    "sr_hz": pdf["sr_hz"],
+                    "n_samples": [len(p) // 4 for p in pcms],
+                    "transcript": pdf["transcript"],
+                }
+            )
+
+    return clips.mapInPandas(run, schema=DECODE_SCHEMA)
+
+
+def signature_stage(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Fused decode→shingle→sign pass: clips → signatures table.
+
+    Emits per clip: raw-byte exact key (murmur128 h1 of payload), text/audio
+    k-perm MinHash signatures, bottom-k KMV sketches (the verify payload),
+    SimHash fingerprints, shingle counts, and the transcript (small, needed by
+    the substring verifier).
+    """
+    seed = cfg.seed
+    num_perm = cfg.num_perm
+    kmv_k = cfg.kmv_k
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            # --- exact key over raw payload bytes ---
+            e1, _, _ = murmur3_bytes_batch(list(pdf["bytes"]), seed)
+
+            # --- decode + audio shingles ---
+            pcms = [
+                decode_clip(b, c, int(s))
+                for b, c, s in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"])
+            ]
+            a_sets = audio_shingle_hashes(pcms, list(pdf["sr_hz"]), cfg)
+            t_sets = text_shingle_hashes(list(pdf["transcript"]), cfg)
+
+            def pack(sets: list[np.ndarray]):
+                counts = np.array([len(s) for s in sets], dtype=np.int64)
+                concat = (
+                    np.concatenate(sets) if counts.sum() else np.empty(0, dtype=np.uint64)
+                )
+                mh = minhash_signatures(concat, counts, num_perm, seed)
+                sh = simhash64(concat, counts)
+                kmv = [kmv_bottom_k(s, kmv_k).view(np.int64) for s in sets]
+                return counts, mh.view(np.int64), sh, kmv
+
+            t_counts, t_mh, t_sh, t_kmv = pack(t_sets)
+            a_counts, a_mh, a_sh, a_kmv = pack(a_sets)
+
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"].values,
+                    "exact_key": e1.view(np.int64),
+                    "text_minhash": list(t_mh),
+                    "text_kmv": t_kmv,
+                    "text_simhash": t_sh,
+                    "n_text_shingles": t_counts.astype(np.int32),
+                    "audio_minhash": list(a_mh),
+                    "audio_kmv": a_kmv,
+                    "audio_simhash": a_sh,
+                    "n_audio_shingles": a_counts.astype(np.int32),
+                    "transcript": pdf["transcript"].values,
+                    "dur_ms": pdf["dur_ms"].values,
+                }
+            )
+
+    return clips.mapInPandas(run, schema=SIGNATURE_SCHEMA)
+
+
+BANDS_SCHEMA = "clip_id string, band_key long"
+
+
+def bands_stage(signatures: DataFrame, cfg: DedupConfig, modality: str) -> DataFrame:
+    """signatures → (clip_id, band_key) rows, ``band_count`` per clip.
+
+    band_key folds (modality, band_id, bucket_hash) into one 64-bit key:
+    murmur over each band's signature slice with a per-(modality, band) seed,
+    so a single equi-join column drives the LSH bucket join.
+    """
+    col = f"{modality}_minhash"
+    cnt_col = f"n_{modality}_shingles"
+    seed_base = cfg.seed + (1_000_003 if modality == "audio" else 0)
+    bc, rpb = cfg.band_count, cfg.rows_per_band
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf[cnt_col] > 0]  # empty clips would all share one bucket
+            n = len(pdf)
+            if n == 0:
+                continue
+            sig = np.stack([np.asarray(v, dtype=np.int64) for v in pdf[col]]).view(
+                np.uint64
+            )
+            bh = band_hashes(sig, bc, rpb, seed_base)  # (n, band_count)
+            clip_ids = np.repeat(pdf["clip_id"].values, bc)
+            yield pd.DataFrame(
+                {"clip_id": clip_ids, "band_key": bh.reshape(-1).view(np.int64)}
+            )
+
+    return signatures.select("clip_id", col, cnt_col).mapInPandas(run, schema=BANDS_SCHEMA)

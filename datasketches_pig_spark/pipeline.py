@@ -1,0 +1,142 @@
+"""End-to-end near-duplicate detection pipeline with checkpoint/resume and
+per-stage lineage — the engine's flagship query.
+
+Stage graph (all DataFrame-native; Python only inside Arrow-batched kernels):
+
+    clips ──signature_stage──▶ signatures          (narrow, fused decode+sign)
+    signatures ──bands(text)∪bands(audio)──▶ bands (narrow)
+    bands ──candidate_pairs──▶ candidates          (1 agg + 1 equi self-join)
+    signatures ──exact_dup_pairs──▶ (unioned in)   (1 agg + 1 join)
+    candidates ⋈ signatures ──verify──▶ verified   (2 joins + Arrow verifier)
+    verified ──union-find──▶ clusters              (iterative joins, fixpoint)
+
+Checkpointing mirrors the reference's compact-sketch-between-stages contract:
+each stage materializes to Parquet under ``run_dir`` with a manifest carrying
+the config hash; a resumed run loads completed stages and *refuses to resume
+across a config change* (the seed-check rule, ``pig/theta/PigUtil.java:70-76``).
+When an Iceberg catalog is configured the same writer targets Iceberg tables;
+in this sandbox it emits Parquet directories + a JSON manifest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from datasketches_pig_spark.config import DedupConfig
+from datasketches_pig_spark.operators.lsh import candidate_pairs, exact_dup_pairs
+from datasketches_pig_spark.operators.stages import bands_stage, signature_stage
+from datasketches_pig_spark.operators.unionfind import connected_components
+from datasketches_pig_spark.operators.verify import verify_pairs
+
+STAGES = ("signatures", "candidates", "verified", "clusters")
+
+
+@dataclass
+class RunResult:
+    clusters: DataFrame
+    lineage: list[dict] = field(default_factory=list)
+    stage_frames: dict[str, DataFrame] = field(default_factory=dict)
+
+
+class CheckpointStore:
+    """Parquet + JSON-manifest checkpoint store (Iceberg-shaped: a table per
+    stage, a manifest as the commit record)."""
+
+    def __init__(self, spark: SparkSession, run_dir: str, cfg: DedupConfig):
+        self.spark = spark
+        self.run_dir = run_dir
+        self.cfg = cfg
+        self.manifest_path = os.path.join(run_dir, "manifest.json")
+        self.manifest = self._load_manifest()
+
+    def _load_manifest(self) -> dict:
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                m = json.load(f)
+            if m.get("config_hash") != self.cfg.config_hash():
+                raise ValueError(
+                    "refusing to resume: checkpoint config_hash "
+                    f"{m.get('config_hash')} != current {self.cfg.config_hash()} "
+                    "(seed-check rule: identical shingle/signature config required)"
+                )
+            return m
+        return {"config_hash": self.cfg.config_hash(), "stages": {}}
+
+    def has(self, stage: str) -> bool:
+        return stage in self.manifest["stages"]
+
+    def load(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self.manifest["stages"][stage]["path"])
+
+    def save(self, stage: str, df: DataFrame, lineage: dict) -> DataFrame:
+        path = os.path.join(self.run_dir, stage)
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        self.manifest["stages"][stage] = {"path": path, "lineage": lineage}
+        os.makedirs(self.run_dir, exist_ok=True)
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.manifest, f, indent=2)
+        os.replace(tmp, self.manifest_path)  # atomic commit record
+        return out
+
+
+def run_pipeline(
+    spark: SparkSession,
+    clips: DataFrame,
+    cfg: DedupConfig | None = None,
+    run_dir: str | None = None,
+) -> RunResult:
+    """Run (or resume) the full dedup pipeline.  With ``run_dir`` set, each
+    stage checkpoints and a rerun resumes after the last complete stage."""
+    cfg = cfg or DedupConfig()
+    store = CheckpointStore(spark, run_dir, cfg) if run_dir else None
+    lineage: list[dict] = []
+    frames: dict[str, DataFrame] = {}
+
+    def stage(name: str, build):
+        t0 = time.time()
+        if store and store.has(name):
+            df = store.load(name)
+            lineage.append({"stage": name, "resumed": True, "config": cfg.config_hash()})
+        else:
+            df = build()
+            entry = {"stage": name, "resumed": False, "config": cfg.config_hash()}
+            if store:
+                df = store.save(name, df, entry)
+            else:
+                df = df.localCheckpoint()
+            entry["rows_out"] = df.count()
+            entry["wall_s"] = round(time.time() - t0, 3)
+            lineage.append(entry)
+        frames[name] = df
+        return df
+
+    signatures = stage("signatures", lambda: signature_stage(clips, cfg))
+
+    def build_candidates():
+        bands = bands_stage(signatures, cfg, "text").unionByName(
+            bands_stage(signatures, cfg, "audio")
+        )
+        return candidate_pairs(bands, cfg).unionByName(
+            exact_dup_pairs(signatures)
+        ).distinct()
+
+    candidates = stage("candidates", build_candidates)
+
+    verified = stage("verified", lambda: verify_pairs(candidates, signatures, cfg))
+
+    def build_clusters():
+        dup_edges = verified.filter(F.col("is_dup")).select("a", "b")
+        vertices = signatures.select("clip_id")
+        return connected_components(dup_edges, vertices, cfg)
+
+    clusters = stage("clusters", build_clusters)
+
+    return RunResult(clusters=clusters, lineage=lineage, stage_frames=frames)

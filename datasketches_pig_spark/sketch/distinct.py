@@ -1,0 +1,64 @@
+"""HLL / CPC package analogs — distinct counting without set algebra.
+
+The reference's hll (``pig/hll/DataToSketch.java:43``, lgK=12 default) and cpc
+(``pig/cpc/DataToSketch.java:43``) packages build mergeable cardinality
+sketches.  Spark's native ``approx_count_distinct`` is an HLL++ aggregate with
+the same Algebraic partial→final contract, executed fully JVM-side; lgK maps
+to a relative standard deviation rsd ≈ 1.04 / sqrt(2^lgK).  The exact path is
+``countDistinct`` (what the oracle checks).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+DEFAULT_LGK = 12  # hll/DataToSketch.java:45-46
+
+
+def lgk_to_rsd(lg_k: int) -> float:
+    return 1.04 / math.sqrt(2.0**lg_k)
+
+
+def hll_estimate(col, lg_k: int = DEFAULT_LGK) -> Column:
+    """approx distinct estimate (hll/SketchToEstimate.java:35 analog)."""
+    return F.approx_count_distinct(col, lgk_to_rsd(lg_k))
+
+
+def hll_distinct(df: DataFrame, value_col: str, group_cols: list[str] | None = None,
+                 lg_k: int = DEFAULT_LGK, exact: bool = False) -> DataFrame:
+    """Grouped distinct count; exact=True switches to countDistinct (the
+    exact-mode/oracle path)."""
+    agg = (
+        F.countDistinct(value_col) if exact else hll_estimate(value_col, lg_k)
+    ).cast("double").alias("estimate")
+    if group_cols:
+        return df.groupBy(*group_cols).agg(agg)
+    return df.agg(agg)
+
+
+def hll_estimate_with_bounds(
+    df: DataFrame, value_col: str, group_cols: list[str] | None = None,
+    lg_k: int = DEFAULT_LGK,
+) -> DataFrame:
+    """(est, lb, ub) at ±2σ / 95.5% confidence
+    (``hll/SketchToEstimateAndErrorBounds.java:43``)."""
+    rsd = lgk_to_rsd(lg_k)
+    est = F.approx_count_distinct(value_col, rsd).cast("double")
+    aggs = [
+        est.alias("est"),
+        (est * (1 - 2 * rsd)).alias("lb"),
+        (est * (1 + 2 * rsd)).alias("ub"),
+    ]
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*aggs)
+    return df.agg(*aggs)
+
+
+# CPC: same Spark mapping, different accuracy constant (cpc is ~1.4× more
+# accurate per bit than HLL; map lgK to an equivalent rsd).
+def cpc_estimate(col, lg_k: int = 11) -> Column:
+    rsd = 0.69 / math.sqrt(2.0**lg_k)
+    return F.approx_count_distinct(col, max(rsd, 0.01))

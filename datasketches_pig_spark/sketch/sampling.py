@@ -1,0 +1,106 @@
+"""Sampling operators — the ``pig/sampling`` package analog.
+
+* ``reservoir_sample`` — uniform fixed-k per group, with the reference's
+  shortcut: if a group has ≤ k rows, all rows are returned unchanged
+  (``sampling/ReservoirSampling.java:82-86``).  Implemented relationally:
+  row_number over a seeded-random order — one shuffle, no Python.
+* ``varopt_sample`` — weighted VarOpt: all heavy items (w > τ) kept with
+  their own weight, light items sampled with probability w/τ and assigned
+  weight τ, where τ solves |heavy| + Σ_light w/τ = k.  Output columns
+  ``vo_weight`` + the record, mirroring ``sampling/VarOptCommonImpl.java:45-46``.
+  Per-group solve runs in ``applyInPandas`` (deterministic per-group seed);
+  the n ≤ k shortcut returns originals.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+DEFAULT_TARGET_K = 1024  # sampling/VarOptCommonImpl.java:42
+
+
+def reservoir_sample(
+    df: DataFrame,
+    k: int,
+    group_cols: list[str] | None = None,
+    seed: int = 9001,
+) -> DataFrame:
+    """Uniform fixed-k sample per group (k ≥ 2, as the reference enforces —
+    ``ReservoirSampling.java:63-70``)."""
+    if k < 2:
+        raise ValueError("reservoir k must be >= 2")
+    keys = group_cols or [F.lit(1).alias("__g")]
+    w = Window.partitionBy(*keys).orderBy(F.rand(seed), *[c for c in (group_cols or [])])
+    out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    return out.drop("__rn", "__g")
+
+
+def _varopt_group(pdf: pd.DataFrame, k: int, weight_col: str, seed: int) -> pd.DataFrame:
+    n = len(pdf)
+    if n <= k:
+        out = pdf.copy()
+        out["vo_weight"] = out[weight_col].astype(float)
+        return out
+    w = pdf[weight_col].to_numpy(dtype=np.float64)
+    order = np.argsort(-w, kind="stable")
+    ws = w[order]
+    # find τ: keep heavy prefix of size h where ws[h-1] > τ,
+    # τ = (Σ light weights) / (k - h); scan h from 0 upward
+    suffix = np.concatenate([np.cumsum(ws[::-1])[::-1], [0.0]])
+    tau = None
+    h = 0
+    for h in range(k):
+        t = suffix[h] / (k - h)
+        if ws[h] <= t if h < n else True:
+            tau = t
+            break
+    if tau is None:
+        h = k
+        tau = suffix[k - 1] if k - 1 < n else 0.0
+    heavy_idx = order[:h]
+    light_idx = order[h:]
+    m = k - h  # expected (and exact) number of light picks
+    lw = w[light_idx]
+    # systematic sampling: exactly m picks with inclusion prob w/τ
+    rng = np.random.default_rng(seed)
+    cum = np.cumsum(lw / tau)
+    targets = rng.uniform(0, 1) + np.arange(m)
+    picks = np.searchsorted(cum, targets, side="left")
+    picks = np.clip(picks, 0, len(light_idx) - 1)
+    picks = np.unique(picks)  # τ-solve makes collisions measure-zero
+    chosen = light_idx[picks]
+    out = pd.concat([pdf.iloc[heavy_idx], pdf.iloc[chosen]])
+    vo = np.concatenate([w[heavy_idx], np.full(len(chosen), tau)])
+    out = out.copy()
+    out["vo_weight"] = vo
+    return out
+
+
+def varopt_sample(
+    df: DataFrame,
+    k: int = DEFAULT_TARGET_K,
+    weight_col: str = "weight",
+    group_cols: list[str] | None = None,
+    seed: int = 9001,
+) -> DataFrame:
+    """Weighted VarOpt sample per group → original columns + vo_weight."""
+    keys = group_cols or []
+    schema_fields = df.schema.fields
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in schema_fields
+    ) + ", vo_weight double"
+
+    if keys:
+        grouped = df.groupBy(*keys)
+    else:
+        df = df.withColumn("__g", F.lit(1))
+        grouped = df.groupBy("__g")
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        res = _varopt_group(pdf.drop(columns=["__g"], errors="ignore"), k, weight_col, seed)
+        return res
+
+    return grouped.applyInPandas(run, schema=out_schema)

@@ -1,0 +1,146 @@
+"""Theta/KMV sketch operators, DataFrame-native.
+
+The reference's theta package (``pig/theta/DataToSketch.java:54`` et al.) is a
+bottom-k (KMV) sketch over MurmurHash3(seed 9001) values with full set
+algebra.  Here the sketch is an ``array<long>`` column: the k smallest hash
+values in *sign-flipped* int64 representation (signed order == unsigned
+order), built with pure relational operators — hash UDF → distinct →
+windowed bottom-k → sorted array.  Catalyst handles partial aggregation,
+shuffle and codegen; no sketch bytes, no custom aggregation buffers.
+
+Exact-mode contract preserved: below k entries the sketch retains everything
+and every derived statistic is exact (``dictionary.html:62-63``) — which is
+what makes these operators DuckDB-oracle-checkable at test scale.
+
+Set algebra (``Union.java:53``, ``Intersect.java:50``, ``AexcludeB.java:48``,
+``JaccardSimilarity.java:41``) maps onto array_union/array_intersect/
+array_except over sketch columns, re-trimmed to bottom-k.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from datasketches_pig_spark.functions.spark_udfs import murmur3_h1_ordered
+
+DEFAULT_K = 4096  # reference default nominal entries (dictionary.html:42-44)
+_TWO63 = 2.0**63
+_TWO64 = 2.0**64
+
+
+def theta_sketch_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = DEFAULT_K,
+    seed: int = 9001,
+) -> DataFrame:
+    """Build a KMV sketch per group: group_cols + ``sketch array<long>``.
+
+    Scale shape: dropDuplicates is a partial-agg-friendly shuffle on
+    (groups, hash); the window bottom-k then works on pre-deduped rows.
+    """
+    hashed = df.select(
+        *group_cols, murmur3_h1_ordered(F.col(value_col), seed).alias("__h")
+    ).dropna(subset=["__h"]).dropDuplicates([*group_cols, "__h"])
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("__h")).alias("sketch"))
+    )
+
+
+def theta_estimate(sketch: Column | str, k: int = DEFAULT_K) -> Column:
+    """Distinct estimate from a sketch column (``theta/Estimate.java:62-68``):
+    exact when retained < k, else (k-1)/theta."""
+    s = F.col(sketch) if isinstance(sketch, str) else sketch
+    n = F.size(s)
+    kth = F.element_at(s, k).cast("double")  # sign-flipped int64
+    theta = (kth + F.lit(_TWO63) + F.lit(1.0)) / F.lit(_TWO64)
+    return F.when(n < k, n.cast("double")).otherwise(F.lit(float(k - 1)) / theta)
+
+
+def theta_error_bounds(sketch: Column | str, k: int = DEFAULT_K) -> Column:
+    """(est, ub, lb) struct at ±2 std dev (``theta/ErrorBounds.java:83-93``).
+    In exact mode ub == lb == est (zero error)."""
+    s = F.col(sketch) if isinstance(sketch, str) else sketch
+    est = theta_estimate(s, k)
+    n = F.size(s)
+    rse2 = F.lit(2.0) / F.sqrt(F.lit(float(k)))
+    exact = n < k
+    ub = F.when(exact, est).otherwise(est * (F.lit(1.0) + rse2))
+    lb = F.when(exact, est).otherwise(est * (F.lit(1.0) - rse2))
+    return F.struct(est.alias("est"), ub.alias("ub"), lb.alias("lb"))
+
+
+def _bottom_k(arr: Column, k: int) -> Column:
+    return F.slice(F.array_sort(arr), 1, k)
+
+
+def theta_union_sketches(a: Column, b: Column, k: int = DEFAULT_K) -> Column:
+    """Merge two sketch columns (``theta/Union.java:186``)."""
+    return _bottom_k(F.array_union(a, b), k)
+
+
+def theta_union_agg(df: DataFrame, group_cols: list[str], sketch_col: str, k: int = DEFAULT_K) -> DataFrame:
+    """Merge many sketches per group (rollup): explode → distinct → bottom-k.
+    This is the Algebraic final-fold analog; Catalyst runs it as partial/final
+    hash aggregation over the exploded hashes."""
+    exploded = df.select(*group_cols, F.explode(sketch_col).alias("__h")).dropDuplicates(
+        [*group_cols, "__h"]
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    return (
+        exploded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("__h")).alias("sketch"))
+    )
+
+
+def theta_intersect(a: Column, b: Column, k: int = DEFAULT_K) -> Column:
+    """Set intersection of two sketches (``theta/Intersect.java:131-144``).
+    Exact below k; above k this keeps common hashes below min(theta) —
+    the standard KMV intersection."""
+    return _bottom_k(F.array_intersect(a, b), k)
+
+
+def theta_a_not_b(a: Column, b: Column, k: int = DEFAULT_K) -> Column:
+    """A-and-not-B (``theta/AexcludeB.java:117-139``)."""
+    return _bottom_k(F.array_except(a, b), k)
+
+
+def theta_intersect_estimate(a: Column, b: Column, k: int = DEFAULT_K) -> Column:
+    """Distinct estimate of A∩B: |common ∩ bottom-k(union)| / theta(union)."""
+    union = _bottom_k(F.array_union(a, b), k)
+    common_in_window = F.array_intersect(union, F.array_intersect(a, b))
+    exact = (F.size(a) < k) & (F.size(b) < k)
+    kth = F.element_at(union, k).cast("double")
+    theta = (kth + F.lit(_TWO63) + F.lit(1.0)) / F.lit(_TWO64)
+    return F.when(exact, F.size(common_in_window).cast("double")).otherwise(
+        F.size(common_in_window).cast("double") / theta
+    )
+
+
+def theta_jaccard(a: Column, b: Column, k: int = DEFAULT_K) -> Column:
+    """Jaccard estimate from two sketches (``theta/JaccardSimilarity.java:115-136``):
+    fraction of the union's bottom-k present in both.  Exact below k."""
+    union = _bottom_k(F.array_union(a, b), k)
+    hits = F.size(F.array_intersect(union, F.array_intersect(a, b)))
+    return F.when(F.size(union) > 0, hits.cast("double") / F.size(union)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def theta_jaccard_bounds(a: Column, b: Column, k: int = DEFAULT_K) -> Column:
+    """(lb, est, ub) struct at ±2σ / 95.4% confidence
+    (``theta/JaccardSimilarity.java:81``); collapses to exact in exact mode."""
+    est = theta_jaccard(a, b, k)
+    exact = (F.size(a) < k) & (F.size(b) < k)
+    sigma2 = F.lit(2.0) * F.sqrt(est * (F.lit(1.0) - est) / F.lit(float(k)))
+    lb = F.when(exact, est).otherwise(F.greatest(est - sigma2, F.lit(0.0)))
+    ub = F.when(exact, est).otherwise(F.least(est + sigma2, F.lit(1.0)))
+    return F.struct(lb.alias("lb"), est.alias("est"), ub.alias("ub"))

@@ -1,0 +1,93 @@
+"""Tuple-sketch operators — the ``pig/tuple`` package analog ("group-by inside
+a sketch": distinct keys, each carrying N summed double values).
+
+Spark-first: the sketch exists in the reference only to bound memory inside a
+single reducer; in Spark ``groupBy(key).agg(sum…)`` already runs with bounded
+memory via partial aggregation + spill, so the *exact* relational form is the
+idiomatic mapping (SURVEY §2.9).  The derived statistics keep the reference's
+output shapes: estimates, means, variances, and the Welch t-test p-values
+between two sketches (``ArrayOfDoublesSketchesToPValueEstimates.java:41-80``).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from datasketches_pig_spark.functions.stats import welch_t_test
+
+
+def aod_sketch(df: DataFrame, key_col: str, value_cols: list[str]) -> DataFrame:
+    """DataToArrayOfDoublesSketch analog: per distinct key, the summed values
+    (``tuple/DataToArrayOfDoublesSketchBase.java:98``)."""
+    return df.groupBy(F.col(key_col).alias("key")).agg(
+        *[F.sum(v).cast("double").alias(f"sum_{v}") for v in value_cols]
+    )
+
+
+def aod_estimates(df: DataFrame, key_col: str, value_cols: list[str]) -> DataFrame:
+    """ArrayOfDoublesSketchToEstimates analog: (distinct-key estimate,
+    population sums) (``ArrayOfDoublesSketchToEstimates.java:42``)."""
+    return df.agg(
+        F.countDistinct(key_col).cast("double").alias("est"),
+        *[F.sum(v).cast("double").alias(f"sum_{v}") for v in value_cols],
+    )
+
+
+def aod_means(df: DataFrame, key_col: str, value_cols: list[str]) -> DataFrame:
+    """Per-column mean over the per-key summed values
+    (``ArrayOfDoublesSketchToMeans.java:38``)."""
+    sk = aod_sketch(df, key_col, value_cols)
+    return sk.agg(*[F.avg(f"sum_{v}").alias(f"mean_{v}") for v in value_cols])
+
+
+def aod_variances(df: DataFrame, key_col: str, value_cols: list[str]) -> DataFrame:
+    """Per-column sample variance over per-key sums
+    (``ArrayOfDoublesSketchToVariances.java:38``)."""
+    sk = aod_sketch(df, key_col, value_cols)
+    return sk.agg(*[F.var_samp(f"sum_{v}").alias(f"var_{v}") for v in value_cols])
+
+
+def aod_p_values(
+    df_a: DataFrame, df_b: DataFrame, key_col: str, value_cols: list[str]
+) -> list[float]:
+    """Welch t-test p-value per metric between two keyed populations
+    (``ArrayOfDoublesSketchesToPValueEstimates.java:41-80``; needs ≥ 2
+    retained keys per side, ``:63-66``)."""
+    stats = []
+    for side in (df_a, df_b):
+        sk = aod_sketch(side, key_col, value_cols)
+        row = sk.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.avg(f"sum_{v}").alias(f"m_{v}") for v in value_cols],
+            *[F.var_samp(f"sum_{v}").alias(f"v_{v}") for v in value_cols],
+        ).collect()[0]
+        stats.append(row)
+    a, b = stats
+    return [
+        welch_t_test(
+            a[f"m_{v}"], a[f"v_{v}"], a["n"], b[f"m_{v}"], b[f"v_{v}"], b["n"]
+        )
+        for v in value_cols
+    ]
+
+
+def double_summary_sketch(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """DataToDoubleSummarySketch analog (sum mode) —
+    ``tuple/DataToDoubleSummarySketch.java:33``."""
+    return aod_sketch(df, key_col, [value_col])
+
+
+def double_summary_estimates(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """(unique-key estimate, total sum) — ``DoubleSummarySketchToEstimates.java:45``."""
+    return aod_estimates(df, key_col, [value_col])
+
+
+def double_summary_percentile(
+    df: DataFrame, key_col: str, value_col: str, pct: float
+) -> DataFrame:
+    """Percentile (0-100) of per-key summary values, routed through the
+    quantile layer like the reference routes through a DoublesSketch
+    (``DoubleSummarySketchToPercentile.java:52-70``)."""
+    sk = double_summary_sketch(df, key_col, value_col)
+    return sk.agg(F.expr(f"percentile(sum_{value_col}, {pct / 100.0})").alias("pctile"))

@@ -1,0 +1,153 @@
+"""Unit tests for shingle + signature kernels (reference test style: tiny
+deterministic inputs, exact-mode assertions with delta 0 —
+``theta/DataToSketchTest.java:137``)."""
+
+import numpy as np
+
+from datasketches_pig_spark.config import DedupConfig
+from datasketches_pig_spark.operators.shingle import (
+    audio_symbols,
+    normalize_text,
+    text_shingle_hashes,
+)
+from datasketches_pig_spark.operators.signatures import (
+    band_hashes,
+    hamming64,
+    kmv_bottom_k,
+    kmv_distinct_estimate,
+    kmv_jaccard,
+    make_perm_params,
+    minhash_signatures,
+    simhash64,
+)
+
+CFG = DedupConfig()
+
+
+def test_normalize_text():
+    assert normalize_text("  Hello\t WORLD \n") == "hello world"
+
+
+def test_text_shingles_deterministic_and_distinct():
+    out = text_shingle_hashes(["abcdefgh", "abcdefgh", "zzzzzzzz", None, ""], CFG)
+    assert np.array_equal(out[0], out[1])
+    assert len(out[0]) == len("abcdefgh") - CFG.shingle_k_text + 1
+    assert len(out[3]) == 0 and len(out[4]) == 0
+    assert len(np.intersect1d(out[0], out[2])) == 0
+    # shorter than k → one whole-string shingle
+    short = text_shingle_hashes(["ab"], CFG)
+    assert len(short[0]) == 1
+
+
+def test_kmv_exact_mode():
+    """Below k the sketch retains everything → exact distinct count with zero
+    error (dictionary.html:62-63)."""
+    h = np.random.default_rng(3).integers(1, 2**63, size=64, dtype=np.uint64)
+    sk = kmv_bottom_k(h, 256)
+    assert kmv_distinct_estimate(sk, 256) == 64.0  # delta 0.0
+
+
+def test_kmv_estimate_above_k():
+    rng = np.random.default_rng(4)
+    h = rng.integers(1, 2**64, size=100_000, dtype=np.uint64)
+    sk = kmv_bottom_k(h, 256)
+    est = kmv_distinct_estimate(sk, 256)
+    assert abs(est - 100_000) / 100_000 < 0.25  # ~4σ at k=256
+
+
+def test_kmv_jaccard_exact_mode():
+    a = np.arange(1, 101, dtype=np.uint64)  # 1..100
+    b = np.arange(51, 151, dtype=np.uint64)  # 51..150 → J = 50/150
+    ja = kmv_jaccard(kmv_bottom_k(a, 256), kmv_bottom_k(b, 256), 256)
+    assert abs(ja - 50.0 / 150.0) < 1e-12
+
+
+def test_kmv_jaccard_estimate_large():
+    rng = np.random.default_rng(5)
+    common = rng.integers(1, 2**64, size=8000, dtype=np.uint64)
+    only_a = rng.integers(1, 2**64, size=2000, dtype=np.uint64)
+    only_b = rng.integers(1, 2**64, size=2000, dtype=np.uint64)
+    a = np.concatenate([common, only_a])
+    b = np.concatenate([common, only_b])
+    true_j = 8000 / 12000
+    est = kmv_jaccard(kmv_bottom_k(a, 256), kmv_bottom_k(b, 256), 256)
+    assert abs(est - true_j) < 0.12
+
+
+def test_minhash_agreement_tracks_jaccard():
+    rng = np.random.default_rng(6)
+    common = rng.integers(1, 2**64, size=900, dtype=np.uint64)
+    a = np.concatenate([common, rng.integers(1, 2**64, size=100, dtype=np.uint64)])
+    b = np.concatenate([common, rng.integers(1, 2**64, size=100, dtype=np.uint64)])
+    counts = np.array([len(a), len(b)])
+    sig = minhash_signatures(np.concatenate([a, b]), counts, 128, 9001)
+    agree = (sig[0] == sig[1]).mean()
+    assert abs(agree - 900 / 1100) < 0.15
+
+
+def test_minhash_deterministic_and_permutation_params():
+    a1, b1 = make_perm_params(128, 9001)
+    a2, b2 = make_perm_params(128, 9001)
+    assert np.array_equal(a1, a2) and np.array_equal(b1, b2)
+    assert (a1 % 2 == 1).all()
+    h = np.arange(1, 500, dtype=np.uint64)
+    s1 = minhash_signatures(h, np.array([499]), 64, 9001)
+    s2 = minhash_signatures(h, np.array([499]), 64, 9001)
+    assert np.array_equal(s1, s2)
+
+
+def test_minhash_empty_clip():
+    sig = minhash_signatures(np.empty(0, dtype=np.uint64), np.array([0]), 16, 9001)
+    assert (sig == np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+
+
+def test_simhash_identical_and_perturbed():
+    rng = np.random.default_rng(7)
+    base = rng.integers(1, 2**64, size=500, dtype=np.uint64)
+    perturbed = base.copy()
+    perturbed[:25] = rng.integers(1, 2**64, size=25, dtype=np.uint64)  # 5% change
+    other = rng.integers(1, 2**64, size=500, dtype=np.uint64)
+    counts = np.array([500, 500, 500])
+    fp = simhash64(np.concatenate([base, perturbed, other]), counts)
+    d_close = hamming64(fp[0:1], fp[1:2])[0]
+    d_far = hamming64(fp[0:1], fp[2:3])[0]
+    assert d_close < 12
+    assert d_far > 20  # independent ≈ 32 ± 4
+
+
+def test_hamming64():
+    a = np.array([0, -1, 0x0F], dtype=np.int64)
+    b = np.array([0, 0, 0], dtype=np.int64)
+    assert hamming64(a, b).tolist() == [0, 64, 4]
+
+
+def test_band_hashes_shape_and_locality():
+    rng = np.random.default_rng(8)
+    sig = rng.integers(1, 2**64, size=(4, 128), dtype=np.uint64)
+    sig[1] = sig[0]  # identical signature → identical bands
+    bh = band_hashes(sig, 32, 4, 9001)
+    assert bh.shape == (4, 32)
+    assert np.array_equal(bh[0], bh[1])
+    assert not np.array_equal(bh[0], bh[2])
+    # change one signature slot → exactly one band changes
+    sig2 = sig.copy()
+    sig2[0, 5] ^= np.uint64(1)
+    bh2 = band_hashes(sig2, 32, 4, 9001)
+    assert (bh2[0] != bh[0]).sum() == 1
+
+
+def test_audio_symbols_invariances():
+    from datasketches_pig_spark.data.clips import _synth_pcm
+
+    rng = np.random.default_rng(9)
+    sr = 16000
+    pcm = _synth_pcm(np.random.default_rng(11), sr)
+    base = audio_symbols(pcm, sr, CFG)
+    # gain ±1 dB → identical symbols (peak-relative energy)
+    gain = audio_symbols((pcm * 10 ** (1 / 20)).clip(-1, 1).astype(np.float32), sr, CFG)
+    assert (base == gain).mean() > 0.95
+    # trim 50 ms → most interior symbols survive as a subsequence alphabet
+    cut = int(0.05 * sr)
+    trim = audio_symbols(pcm[cut:], sr, CFG)
+    inter = len(np.intersect1d(base, trim)) / len(np.unique(base))
+    assert inter > 0.8
