@@ -1,0 +1,102 @@
+"""Benchmark driver: flagship dedup pipeline + headline operator queries.
+
+Prints ONE JSON line:
+  {"metric": "e2e_dedup_wall_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "n_clips": N, "clips_per_sec": r, "cores": C}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_GROUPS (override clip-group count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE_QUERIES = [
+    "theta_distinct",
+    "theta_jaccard",
+    "kll_quantiles",
+    "freq_items",
+    "aod_sums",
+    "topk_window",
+    "events_sessions",
+    "dedup_minhash",
+    "ann_cosine",
+    "quality_score",
+]
+
+GROUPS_BY_SF = {"0.001": 150, "0.01": 500, "0.1": 2000}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from datasketches_pig_spark.config import DedupConfig
+    from datasketches_pig_spark.data.clips import generate_clips_spark
+    from datasketches_pig_spark.pipeline import run_pipeline
+    from datasketches_pig_spark.queries import registry
+    from datasketches_pig_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=2 * cpus)
+
+    # --- flagship: dedup pipeline over synthetic clips (input prep untimed) ---
+    n_groups = int(
+        os.environ.get("SPARK_GRAFT_BENCH_GROUPS", GROUPS_BY_SF.get(sf, 2000))
+    )
+    tmp = tempfile.mkdtemp(prefix="dsps_bench_")
+    try:
+        clips = generate_clips_spark(spark, n_groups, seed=42, out_dir=tmp)
+        n_clips = clips.count()
+
+        t0 = time.time()
+        result = run_pipeline(spark, clips, DedupConfig())
+        n_clusters = result.clusters.count()
+        wall = time.time() - t0
+
+        # --- headline operator queries on the driver's sf tables ---
+        reg = registry()
+        q_times: dict[str, float] = {}
+        for name in HEADLINE_QUERIES:
+            fn, _ = reg[name]
+            tq = time.time()
+            fn(spark, sf_dir).count()
+            q_times[name] = round(time.time() - tq, 3)
+
+        print(
+            json.dumps(
+                {
+                    "metric": "e2e_dedup_wall_sec",
+                    "value": round(wall, 3),
+                    "unit": "sec",
+                    "queries": q_times,
+                    "sf": float(sf),
+                    "n_clips": n_clips,
+                    "n_clusters": n_clusters,
+                    "clips_per_sec": round(n_clips / wall, 1),
+                    "cores": cpus,
+                    "stage_lineage": [
+                        {k: e[k] for k in ("stage", "rows_out", "wall_s") if k in e}
+                        for e in result.lineage
+                    ],
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Text-analysis operators for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+Everything except the fingerprint is pure JVM column algebra (whole-stage
+codegen; identical ANSI-SQL forms exist for the DuckDB oracle).  The
+fingerprint is a Karp-Rabin rolling hash over tokens inside an Arrow batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from datasketches_pig_spark.functions.murmur3 import murmur3_bytes_batch
+
+# marker-word profiles for the deterministic n-gram/stopword language heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "a"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "es": ["el", "la", "los", "es", "de"],
+    "fr": ["le", "les", "est", "une", "des"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def _marker_count(text_col: Column, words: list[str]) -> Column:
+    pat = "|".join(rf"\b{w}\b" for w in words)
+    return F.size(F.regexp_extract_all(F.lower(text_col), F.lit(pat), 0))
+
+
+def lang_id(text_col: str = "text") -> Column:
+    """Deterministic language-ID: argmax of marker-word hits as an explicit
+    CASE cascade (profile order breaks ties; 'und' when no marker hits) —
+    the same cascade is expressible verbatim in ANSI SQL for the oracle."""
+    t = F.col(text_col)
+    langs = list(LANG_MARKERS)
+    scores = {lang: _marker_count(t, ws) for lang, ws in LANG_MARKERS.items()}
+    expr = F.lit("und")
+    for i in range(len(langs) - 1, -1, -1):
+        lang = langs[i]
+        cond = scores[lang] >= F.lit(1)
+        for other in langs[i + 1 :]:
+            cond = cond & (scores[lang] >= scores[other])
+        for other in langs[:i]:
+            cond = cond & (scores[lang] > scores[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def token_count(text_col: str = "text") -> Column:
+    """Whitespace token count."""
+    t = F.trim(F.col(text_col))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text_col: str = "text") -> Column:
+    """BPE-ish subword count: alpha runs + digit runs + individual symbols."""
+    return F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    )
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc quality features: length, token count, mean word length,
+    punctuation ratio, stopword ratio, and a composite [0,1] score."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(text_col)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0))
+    n_stop = _marker_count(t, [w for ws in LANG_MARKERS.values() for w in ws])
+    mean_wl = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0)
+    score = (
+        F.least(n_tokens / F.lit(50.0), F.lit(1.0)) * 0.4
+        + F.when((mean_wl >= 3) & (mean_wl <= 10), 0.3).otherwise(0.0)
+        + F.when(punct_ratio <= 0.2, 0.2).otherwise(0.0)
+        + F.least(stop_ratio * 2, F.lit(0.1))
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        mean_wl.cast("double").alias("mean_word_len"),
+        punct_ratio.cast("double").alias("punct_ratio"),
+        stop_ratio.cast("double").alias("stopword_ratio"),
+        score.cast("double").alias("quality_score"),
+    )
+
+
+FP_SCHEMA = "doc_id long, fingerprint long"
+_FP_BASE = np.uint64(1000003)
+_FP_WINDOW = 8
+
+
+def doc_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Winnowing-style fingerprint: Karp-Rabin rolling hash over token windows,
+    fingerprint = min window hash (robust to local edits outside the min)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for i, t in enumerate(pdf[text_col]):
+                toks = (t or "").lower().split()
+                # murmur per token (Python's hash() is salted per process)
+                h1, _, valid = murmur3_bytes_batch(
+                    [w.encode("utf-8") for w in toks], seed=9001
+                )
+                th = h1[valid]
+                if len(th) == 0:
+                    continue
+                w = min(_FP_WINDOW, len(th))
+                acc = np.zeros(len(th) - w + 1, dtype=np.uint64)
+                for j in range(w):
+                    acc = acc * _FP_BASE + th[j : j + len(acc)]
+                out[i] = int(acc.min().view(np.int64))
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "fingerprint": out})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=FP_SCHEMA)
