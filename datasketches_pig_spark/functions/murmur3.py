@@ -221,6 +221,16 @@ def murmur3_bytes_batch(values: list[bytes | None], seed: int = DEFAULT_SEED) ->
         by_len.setdefault(len(v), []).append(i)
 
     for length, idxs in by_len.items():
+        if length > 4096 and len(idxs) < 64:
+            # long, sparse bucket: the vectorized kernel degrades to a python
+            # loop over blocks of tiny arrays — the scalar big-int path is
+            # faster there
+            for i in idxs:
+                a, b = murmur3_x64_128(values[i], seed)
+                h1[i] = a
+                h2[i] = b
+                valid[i] = True
+            continue
         buf = np.empty((len(idxs), length), dtype=np.uint8)
         for j, i in enumerate(idxs):
             buf[j] = np.frombuffer(values[i], dtype=np.uint8)

@@ -15,9 +15,10 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+import hashlib
+
 from datasketches_pig_spark.audioops.codecs import decode_clip
 from datasketches_pig_spark.config import DedupConfig
-from datasketches_pig_spark.functions.murmur3 import murmur3_bytes_batch
 from datasketches_pig_spark.operators.shingle import (
     audio_shingle_hashes,
     text_shingle_hashes,
@@ -85,7 +86,16 @@ def signature_stage(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
             if n == 0:
                 continue
             # --- exact key over raw payload bytes ---
-            e1, _, _ = murmur3_bytes_batch(list(pdf["bytes"]), seed)
+            # blake2b (C speed, GB/s) — the exact-byte fast path only needs a
+            # collision-resistant digest, not murmur parity; murmur stays the
+            # contract for all shingle/signature hashing
+            e1 = np.array(
+                [
+                    int.from_bytes(hashlib.blake2b(b, digest_size=8).digest(), "little")
+                    for b in pdf["bytes"]
+                ],
+                dtype=np.uint64,
+            )
 
             # --- decode + audio shingles ---
             pcms = [

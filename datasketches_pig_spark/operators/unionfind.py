@@ -19,14 +19,28 @@ from pyspark.sql import DataFrame
 from datasketches_pig_spark.config import DedupConfig
 
 
+DRIVER_DSU_MAX_EDGES = 5_000_000  # ~100 MB driver footprint
+
+
 def connected_components(
-    edges: DataFrame, vertices: DataFrame, cfg: DedupConfig | None = None
+    edges: DataFrame,
+    vertices: DataFrame,
+    cfg: DedupConfig | None = None,
+    max_driver_edges: int = DRIVER_DSU_MAX_EDGES,
 ) -> DataFrame:
     """edges(a, b) + vertices(clip_id) → clusters(clip_id, cluster_id).
 
-    Vertices not touched by any edge become singleton clusters.
+    Size-adaptive execution: after dedup-verification the edge set is orders
+    of magnitude smaller than the input, so below DRIVER_DSU_MAX_EDGES a
+    driver-side union-find (numpy DSU, milliseconds) replaces the iterative
+    join loop; above it, distributed min-label propagation runs to a fixpoint.
+    Vertices not touched by any edge become singleton clusters either way.
     """
     max_rounds = cfg.max_unionfind_rounds if cfg else 50
+
+    n_edges = edges.limit(max_driver_edges + 1).count()
+    if n_edges <= max_driver_edges:
+        return _driver_dsu(edges, vertices)
 
     sym = (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
@@ -68,4 +82,57 @@ def connected_components(
             "clip_id",
             F.coalesce("label", F.col("clip_id")).alias("cluster_id"),
         )
+    )
+
+
+def _driver_dsu(edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Collect the (small) verified edge set and run classic union-find with
+    path compression; broadcast the label map back as a join."""
+    spark = edges.sparkSession
+    epdf = edges.select("a", "b").toPandas()
+    ids: dict[str, int] = {}
+
+    def iid(x: str) -> int:
+        if x not in ids:
+            ids[x] = len(ids)
+        return ids[x]
+
+    import numpy as np
+
+    ea = [iid(x) for x in epdf["a"]]
+    eb = [iid(x) for x in epdf["b"]]
+    parent = np.arange(len(ids), dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for x, y in zip(ea, eb):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    names = list(ids)
+    # deterministic cluster id: min clip_id (string order) per component
+    root_min: dict[int, str] = {}
+    for name, i in ids.items():
+        r = find(i)
+        if r not in root_min or name < root_min[r]:
+            root_min[r] = name
+    import pandas as pd
+
+    labels = pd.DataFrame(
+        {"clip_id": names, "label": [root_min[find(i)] for i in range(len(names))]}
+    )
+    if len(labels) == 0:
+        return vertices.select("clip_id", F.col("clip_id").alias("cluster_id"))
+    ldf = spark.createDataFrame(labels)
+    return (
+        vertices.select("clip_id")
+        .join(F.broadcast(ldf), "clip_id", "left")
+        .select("clip_id", F.coalesce("label", F.col("clip_id")).alias("cluster_id"))
     )

@@ -34,7 +34,7 @@ from datasketches_pig_spark.operators.stages import bands_stage, signature_stage
 from datasketches_pig_spark.operators.unionfind import connected_components
 from datasketches_pig_spark.operators.verify import verify_pairs
 
-STAGES = ("signatures", "candidates", "verified", "clusters")
+STAGES = ("signatures", "bands", "candidates", "verified", "clusters")
 
 
 @dataclass
@@ -120,15 +120,22 @@ def run_pipeline(
 
     signatures = stage("signatures", lambda: signature_stage(clips, cfg))
 
-    def build_candidates():
-        bands = bands_stage(signatures, cfg, "text").unionByName(
+    # bands materialize as their own stage: candidate generation scans them
+    # three times (bucket sizes, small-bucket join, big-bucket stars) and must
+    # not re-run the Arrow band-hash pass per scan
+    bands = stage(
+        "bands",
+        lambda: bands_stage(signatures, cfg, "text").unionByName(
             bands_stage(signatures, cfg, "audio")
-        )
-        return candidate_pairs(bands, cfg).unionByName(
-            exact_dup_pairs(signatures)
-        ).distinct()
+        ),
+    )
 
-    candidates = stage("candidates", build_candidates)
+    candidates = stage(
+        "candidates",
+        lambda: candidate_pairs(bands, cfg)
+        .unionByName(exact_dup_pairs(signatures))
+        .distinct(),
+    )
 
     verified = stage("verified", lambda: verify_pairs(candidates, signatures, cfg))
 

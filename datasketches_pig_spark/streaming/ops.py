@@ -1,0 +1,112 @@
+"""Structured Streaming operators.
+
+The reference's closest streaming analog is the ``Accumulator`` interface —
+a sketch updated incrementally with successive chunks of a bag
+(``theta/DataToSketch.java:250-284``).  Here that contract maps onto:
+
+* watermarked tumbling/session windows for time-based aggregation
+  (``streaming_windowed_counts`` / ``streaming_sessions``), and
+* ``applyInPandasWithState`` for the custom stateful sketch: a bottom-k KMV
+  per key whose state is exactly the compact sketch the reference ships
+  between Algebraic stages (``streaming_theta_distinct``).
+
+All operators take/return streaming DataFrames; tests drive them with a file
+source + availableNow trigger and compare against the batch results.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling-window counts + sums with late-data watermark."""
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(value_col).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            key_col,
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def streaming_sessions(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows (gap-based) per key — the sessionization operator."""
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("s"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_STATE_SCHEMA = "sketch array<long>"
+_OUT_SCHEMA = "key string, estimate double, retained int"
+
+
+def streaming_theta_distinct(keyed: DataFrame, k: int = 256, seed: int = 9001) -> DataFrame:
+    """Custom stateful streaming sketch: per key, a bottom-k KMV over the
+    murmur-hashed values seen so far (the Accumulator contract).  Emits the
+    running (estimate, retained) after every micro-batch update.
+
+    Input: streaming DataFrame with (key string, value string).
+    """
+    from datasketches_pig_spark.functions.murmur3 import murmur3_bytes_batch
+    from datasketches_pig_spark.operators.signatures import kmv_distinct_estimate
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (prev,) = state.get
+            sketch = np.array(prev, dtype=np.int64).view(np.uint64)
+        else:
+            sketch = np.empty(0, dtype=np.uint64)
+        for pdf in pdfs:
+            vals = [v.encode("utf-8") if v is not None else None for v in pdf["value"]]
+            h1, _, valid = murmur3_bytes_batch(vals, seed)
+            # KMV update semantics: union, keep k smallest distinct
+            sketch = np.unique(np.concatenate([sketch, h1[valid]]))[:k]
+        state.update((sketch.view(np.int64).tolist(),))
+        est = kmv_distinct_estimate(sketch, k)
+        yield pd.DataFrame(
+            {"key": [key[0]], "estimate": [est], "retained": [len(sketch)]}
+        )
+
+    return keyed.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

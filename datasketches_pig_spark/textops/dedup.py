@@ -180,9 +180,12 @@ def minhash_lsh_candidates(
                 }
             )
 
+    # materialize: the self-join scans bands twice, and bands must not re-run
+    # the Arrow minhash pass per scan (same rule as the clip pipeline's
+    # checkpointed bands stage)
     bands = sigs.select("id", "minhash", "n_shingles").mapInPandas(
         run, "id long, band_key long"
-    )
+    ).localCheckpoint()
     left = bands.select("band_key", F.col("id").alias("a"))
     right = bands.select("band_key", F.col("id").alias("b"))
     return left.join(right, "band_key").filter(F.col("a") < F.col("b")).select(
@@ -202,8 +205,8 @@ def minhash_dedup_pairs(
     """MinHash-LSH candidates, exact-verified by a shingle join restricted to
     candidates (the scale path: quadratic work only inside LSH buckets)."""
     sigs = minhash_stage(df, id_col, text_col, n, num_perm, seed)
-    cands = minhash_lsh_candidates(sigs, seed=seed)
-    grams = word_ngrams(df, id_col, text_col, n)
+    cands = minhash_lsh_candidates(sigs, seed=seed).localCheckpoint()
+    grams = word_ngrams(df, id_col, text_col, n).localCheckpoint()
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     ga = grams.select(F.col("id").alias("a"), "shingle")
     gb = grams.select(F.col("id").alias("b"), "shingle")

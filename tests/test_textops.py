@@ -1,0 +1,129 @@
+"""Tests for document dedup + text analysis + ANN operators."""
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+DOCS = pd.DataFrame(
+    {
+        "doc_id": range(8),
+        "text": [
+            "the quick brown fox jumps over the lazy dog today",   # 0
+            "the quick brown fox jumps over the lazy dog today",   # 1: exact dup of 0
+            "the quick brown fox jumps over the lazy cat today",   # 2: near dup of 0
+            "completely different words about spark engines here", # 3
+            "one two three four five six seven eight nine ten",    # 4
+            "ONE  two   three four five six seven eight nine ten", # 5: ws/case dup of 4
+            "short text",                                          # 6
+            "der hund und die katze ist im haus und das ist gut",  # 7: german markers
+        ],
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS).cache()
+
+
+def test_exact_dedup(spark, docs):
+    from datasketches_pig_spark.textops.dedup import exact_dedup
+
+    out = exact_dedup(docs, "doc_id", "text").toPandas().set_index("doc_id")
+    assert out.loc[1, "canonical_id"] == 0
+    assert out.loc[5, "canonical_id"] == 4  # whitespace/case-normalized match
+    assert out.loc[2, "canonical_id"] == 2  # near-dup is NOT exact
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    from datasketches_pig_spark.textops.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).toPandas()
+    pairs = {(r.a, r.b): r.jaccard for r in out.itertuples()}
+    assert pairs[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_minhash_matches_bruteforce(spark, docs):
+    from datasketches_pig_spark.textops.dedup import minhash_dedup_pairs, ngram_jaccard_pairs
+
+    brute = ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).toPandas()
+    lsh = minhash_dedup_pairs(docs, "doc_id", "text", 3, 0.5).toPandas()
+    bset = {(r.a, r.b, round(r.jaccard, 9)) for r in brute.itertuples()}
+    lset = {(r.a, r.b, round(r.jaccard, 9)) for r in lsh.itertuples()}
+    assert bset == lset
+
+
+def test_simhash_near_pairs(spark, docs):
+    from datasketches_pig_spark.textops.dedup import simhash_near_pairs
+
+    out = simhash_near_pairs(docs, "doc_id", "text", n=3, max_hamming=6).toPandas()
+    pairs = {(r.a, r.b) for r in out.itertuples()}
+    assert (0, 1) in pairs  # identical text → hamming 0
+    assert (4, 5) in pairs  # normalized-identical
+
+
+def test_lang_id_and_quality(spark, docs):
+    from datasketches_pig_spark.textops.analysis import lang_id, quality_features
+
+    out = docs.select("doc_id", lang_id("text").alias("l")).toPandas().set_index("doc_id")
+    assert out.loc[0, "l"] == "en"
+    assert out.loc[7, "l"] == "de"
+    assert out.loc[4, "l"] == "und"  # no markers
+
+    q = quality_features(docs, "doc_id", "text").toPandas().set_index("doc_id")
+    assert (q["quality_score"] >= 0).all() and (q["quality_score"] <= 1).all()
+    assert q.loc[0, "n_tokens"] == 10
+
+
+def test_token_counts(spark, docs):
+    from datasketches_pig_spark.textops.analysis import bpe_ish_token_count, token_count
+
+    out = docs.select(
+        "doc_id",
+        token_count("text").alias("ws"),
+        bpe_ish_token_count("text").alias("bpe"),
+    ).toPandas().set_index("doc_id")
+    assert out.loc[6, "ws"] == 2
+    assert out.loc[0, "ws"] == 10
+    assert out.loc[0, "bpe"] == 10  # pure alpha words
+
+
+def test_fingerprint_stability(spark, docs):
+    from datasketches_pig_spark.textops.analysis import doc_fingerprints
+
+    f1 = doc_fingerprints(docs, "doc_id", "text").toPandas().set_index("doc_id")
+    f2 = doc_fingerprints(docs.repartition(3), "doc_id", "text").toPandas().set_index("doc_id")
+    assert (f1.sort_index()["fingerprint"] == f2.sort_index()["fingerprint"]).all()
+    assert f1.loc[0, "fingerprint"] == f1.loc[1, "fingerprint"]  # identical docs
+
+
+def test_ann_lsh_recall_vs_brute(spark):
+    from datasketches_pig_spark.ann.knn import cosine_topk, rhp_lsh_topk
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(40, 16))
+    vecs = np.concatenate([base, base + rng.normal(0, 0.05, size=(40, 16))])
+    pdf = pd.DataFrame(
+        {"vec_id": range(80), "embedding": [list(map(float, v)) for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    corpus = df.filter(F.col("vec_id") >= 5)
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = cosine_topk(corpus, queries, k=5).toPandas()
+    lsh = rhp_lsh_topk(corpus, queries, k=5, n_bits=24, max_hamming=8).toPandas()
+    bt = {(r.query_id, r.vec_id) for r in brute.itertuples()}
+    lt = {(r.query_id, r.vec_id) for r in lsh.itertuples()}
+    # overall top-5 recall is soft (brute top-5 includes weakly-similar random
+    # fillers that LSH rightly prunes); the true near neighbor must never miss
+    recall = len(bt & lt) / len(bt)
+    assert recall >= 0.2, f"ANN overall recall {recall}"  # sanity floor only
+    top1 = brute[brute["rank"] == 1].set_index("query_id")["vec_id"]
+    lsh_found = lsh.groupby("query_id")["vec_id"].apply(set)
+    for q in range(5):
+        assert top1[q] == q + 40  # planted twin is the true top neighbor
+        assert top1[q] in lsh_found[q], f"LSH missed the true neighbor for query {q}"
