@@ -218,7 +218,7 @@ SQL_KLL_CDF = """
 SELECT ROUND(SUM(CASE WHEN l_discount < 0.02 THEN 1 ELSE 0 END) * 1.0 / COUNT(l_discount), 6) AS cdf_0,
        ROUND(SUM(CASE WHEN l_discount < 0.05 THEN 1 ELSE 0 END) * 1.0 / COUNT(l_discount), 6) AS cdf_1,
        ROUND(SUM(CASE WHEN l_discount < 0.08 THEN 1 ELSE 0 END) * 1.0 / COUNT(l_discount), 6) AS cdf_2,
-       ROUND(1.0, 6) AS cdf_3
+       ROUND(CAST(1.0 AS DOUBLE), 6) AS cdf_3
 FROM lineitem
 """
 
