@@ -47,9 +47,10 @@ def main() -> None:
     from datasketches_pig_spark.data.clips import generate_clips_spark
     from datasketches_pig_spark.pipeline import run_pipeline
     from datasketches_pig_spark.queries import registry
-    from datasketches_pig_spark.session import get_spark
+    from datasketches_pig_spark.session import get_spark, warm_python_workers
 
     spark = get_spark("bench", cores=cpus, shuffle_partitions=2 * cpus)
+    warm_python_workers(spark)  # steady-state workers: imports + allocator
 
     # --- flagship: dedup pipeline over synthetic clips (input prep untimed) ---
     n_groups = int(

@@ -49,6 +49,75 @@ def kmv_jaccard(a: np.ndarray, b: np.ndarray, k: int) -> float:
     return float(n_hits) / float(len(union)) if len(union) else 0.0
 
 
+def kmv_jaccard_batch(
+    a_vals: np.ndarray,
+    a_counts: np.ndarray,
+    b_vals: np.ndarray,
+    b_counts: np.ndarray,
+    k: int,
+) -> np.ndarray:
+    """Vectorized ``kmv_jaccard`` over a batch of pairs — no per-pair Python.
+
+    Inputs are the concatenated per-pair bottom-k sketches (each pair's slice
+    sorted unique uint64, as ``kmv_bottom_k`` emits) with per-pair lengths.
+    Semantics identical to ``kmv_jaccard``: take the k smallest of the union;
+    the fraction of those present in both sketches estimates J (exact when
+    both sides are in exact mode).
+
+    Method: one global lexsort of (pair_id, value) over both sides, then the
+    per-pair union ranks and duplicate flags fall out of adjacent-element
+    comparisons + cumsums (segment algebra, O(N log N) total).
+    """
+    n_pairs = len(a_counts)
+    if n_pairs == 0:
+        return np.zeros(0)
+    pid = np.concatenate(
+        [
+            np.repeat(np.arange(n_pairs, dtype=np.int64), a_counts),
+            np.repeat(np.arange(n_pairs, dtype=np.int64), b_counts),
+        ]
+    )
+    val = np.concatenate([a_vals.view(U64), b_vals.view(U64)])
+    order = np.lexsort((val, pid))
+    pid_s = pid[order]
+    val_s = val[order]
+
+    new_pair = np.empty(len(pid_s), dtype=bool)
+    if len(pid_s):
+        new_pair[0] = True
+        new_pair[1:] = pid_s[1:] != pid_s[:-1]
+    # a value that equals its predecessor within the same pair appears in
+    # BOTH sketches (each side is internally unique)
+    dup = np.zeros(len(pid_s), dtype=bool)
+    if len(pid_s) > 1:
+        dup[1:] = (~new_pair[1:]) & (val_s[1:] == val_s[:-1])
+
+    union_flag = ~dup  # first occurrence per (pair, value) = a union element
+    cu = np.cumsum(union_flag)
+    gidx = np.cumsum(new_pair) - 1  # pair index of every element
+    starts = np.flatnonzero(new_pair)
+    start_cu = cu[starts] - union_flag[starts]
+    # 0-based rank of each union element inside its pair's sorted union
+    rank = cu - 1 - start_cu[gidx]
+
+    union_sizes = np.zeros(n_pairs, dtype=np.int64)
+    np.add.at(union_sizes, gidx, union_flag)
+    denom = np.minimum(union_sizes, k)
+
+    # a dup at position p marks a common value whose union element is at p-1
+    hit_pos = np.flatnonzero(dup)
+    hit_pos = hit_pos[rank[hit_pos - 1] < k]
+    hits = np.zeros(n_pairs, dtype=np.int64)
+    np.add.at(hits, gidx[hit_pos], 1)
+
+    out = np.zeros(n_pairs)
+    nz = denom > 0
+    both = (a_counts > 0) & (b_counts > 0)
+    use = nz & both
+    out[use] = hits[use] / denom[use]
+    return out
+
+
 def kmv_distinct_estimate(sketch: np.ndarray, k: int) -> float:
     """KMV distinct-count estimate: exact when retained < k, else
     (k-1) / theta where theta = kth smallest / 2^64."""

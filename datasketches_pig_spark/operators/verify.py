@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 
 from datasketches_pig_spark.config import DedupConfig
 from datasketches_pig_spark.operators.shingle import normalize_text
-from datasketches_pig_spark.operators.signatures import hamming64, kmv_jaccard
+from datasketches_pig_spark.operators.signatures import kmv_jaccard_batch
 
 AUDIO_JACCARD_THRESHOLD = 0.5
 PREFILTER_HAMMING = 26  # of 64 bits; clear-negative cutoff, recall-safe
@@ -122,74 +122,147 @@ def substring_containment(x: str, y: str, min_frac: float = 0.8) -> bool:
 # verify stage
 # ---------------------------------------------------------------------------
 
-_PAYLOAD_COLS = ["clip_id", "exact_key", "text_kmv", "audio_kmv", "text_simhash", "audio_simhash", "transcript"]
+_KEY_COLS = ["clip_id", "exact_key", "text_simhash", "audio_simhash", "text_kmv", "audio_kmv"]
+
+_JACCARD_SCHEMA = (
+    "a string, b string, text_jaccard double, audio_jaccard double, "
+    "text_hamming int, audio_hamming int"
+)
+
+
+def _gather(col: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    cells = [np.asarray(c, dtype=np.int64) for c in col]
+    counts = np.fromiter((len(c) for c in cells), dtype=np.int64, count=len(cells))
+    vals = np.concatenate(cells) if counts.sum() else np.empty(0, dtype=np.int64)
+    return vals, counts
 
 
 def verify_pairs(pairs: DataFrame, signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """candidate (a, b) pairs + signatures → verified pairs with scores."""
-    payload = signatures.select(*_PAYLOAD_COLS)
-    pa = payload.select(*[F.col(c).alias(f"a_{c}") for c in _PAYLOAD_COLS])
-    pb = payload.select(*[F.col(c).alias(f"b_{c}") for c in _PAYLOAD_COLS])
-    joined = (
-        pairs.join(pa, pairs.a == pa.a_clip_id)
-        .join(pb, pairs.b == pb.b_clip_id)
-        .drop("a_clip_id", "b_clip_id")
-    )
+    """candidate (a, b) pairs + signatures → verified pairs with scores.
 
+    Data-volume design (the 100 TB concern): exact-key equality and the
+    SimHash Hamming prefilter run **JVM-side** (``bit_count(xor)``, codegen),
+    so clear negatives and byte-identical pairs never ship their KMV sketches
+    across the Arrow boundary; transcripts are joined only for the tiny
+    borderline set that needs the suffix-array containment check.
+    """
     kmv_k = cfg.kmv_k
     text_thr = cfg.jaccard_threshold
     near = cfg.near_exact_threshold
     weak = cfg.weak_support_threshold
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    payload = signatures.select(*_KEY_COLS)
+    pa = payload.select(*[F.col(c).alias(f"a_{c}") for c in _KEY_COLS])
+    pb = payload.select(*[F.col(c).alias(f"b_{c}") for c in _KEY_COLS])
+    joined = (
+        pairs.join(pa, pairs.a == pa.a_clip_id)
+        .join(pb, pairs.b == pb.b_clip_id)
+        .select(
+            "a",
+            "b",
+            (F.col("a_exact_key") == F.col("b_exact_key")).alias("exact"),
+            F.bit_count(
+                F.col("a_text_simhash").bitwiseXOR(F.col("b_text_simhash"))
+            ).cast("int").alias("text_hamming"),
+            F.bit_count(
+                F.col("a_audio_simhash").bitwiseXOR(F.col("b_audio_simhash"))
+            ).cast("int").alias("audio_hamming"),
+            "a_text_kmv",
+            "a_audio_kmv",
+            "b_text_kmv",
+            "b_audio_kmv",
+        )
+    )
+
+    # prefilter: clear negatives skip set math entirely (recall-safe: dup
+    # pairs at J≥0.5 sit far below this Hamming bar); exact pairs skip too
+    needs = (~F.col("exact")) & (
+        (F.col("text_hamming") <= PREFILTER_HAMMING)
+        | (F.col("audio_hamming") <= PREFILTER_HAMMING)
+    )
+
+    passthrough = joined.filter(~needs).select(
+        "a",
+        "b",
+        F.when(F.col("exact"), F.lit(1.0)).otherwise(F.lit(0.0)).alias("text_jaccard"),
+        F.when(F.col("exact"), F.lit(1.0)).otherwise(F.lit(0.0)).alias("audio_jaccard"),
+        "text_hamming",
+        "audio_hamming",
+        F.lit(False).alias("substr_ok"),
+        F.col("exact").alias("is_dup"),
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n = len(pdf)
-            if n == 0:
+            if len(pdf) == 0:
                 continue
-            t_ham = hamming64(pdf["a_text_simhash"].values, pdf["b_text_simhash"].values)
-            a_ham = hamming64(pdf["a_audio_simhash"].values, pdf["b_audio_simhash"].values)
-            exact = pdf["a_exact_key"].values == pdf["b_exact_key"].values
-
-            # prefilter: clear negatives skip set math (recall-safe: dup pairs
-            # at J≥0.5 sit far below this Hamming bar)
-            needs = (~exact) & ((t_ham <= PREFILTER_HAMMING) | (a_ham <= PREFILTER_HAMMING))
-
-            t_j = np.zeros(n)
-            a_j = np.zeros(n)
-            substr = np.zeros(n, dtype=bool)
-            idx = np.flatnonzero(needs)
-            for i in idx:
-                ta = np.asarray(pdf["a_text_kmv"].iloc[i], dtype=np.int64).view(np.uint64)
-                tb = np.asarray(pdf["b_text_kmv"].iloc[i], dtype=np.int64).view(np.uint64)
-                aa = np.asarray(pdf["a_audio_kmv"].iloc[i], dtype=np.int64).view(np.uint64)
-                ab = np.asarray(pdf["b_audio_kmv"].iloc[i], dtype=np.int64).view(np.uint64)
-                t_j[i] = kmv_jaccard(ta, tb, kmv_k)
-                a_j[i] = kmv_jaccard(aa, ab, kmv_k)
-                if a_j[i] >= 0.6 and 0.05 <= t_j[i] < text_thr:
-                    # borderline text: run the suffix-array containment check
-                    substr[i] = substring_containment(
-                        pdf["a_transcript"].iloc[i], pdf["b_transcript"].iloc[i]
-                    )
-
-            t_j[exact] = 1.0
-            a_j[exact] = 1.0
-            is_dup = (
-                exact
-                | ((t_j >= near) & (a_j >= weak))
-                | ((a_j >= near) & ((t_j >= weak) | substr))
-                | ((t_j >= text_thr) & (a_j >= 0.6))
-            )
+            ta_v, ta_c = _gather(pdf["a_text_kmv"])
+            tb_v, tb_c = _gather(pdf["b_text_kmv"])
+            aa_v, aa_c = _gather(pdf["a_audio_kmv"])
+            ab_v, ab_c = _gather(pdf["b_audio_kmv"])
             yield pd.DataFrame(
                 {
                     "a": pdf["a"].values,
                     "b": pdf["b"].values,
-                    "text_jaccard": t_j,
-                    "audio_jaccard": a_j,
-                    "text_hamming": t_ham.astype(np.int32),
-                    "audio_hamming": a_ham.astype(np.int32),
-                    "substr_ok": substr,
-                    "is_dup": is_dup,
+                    "text_jaccard": kmv_jaccard_batch(ta_v, ta_c, tb_v, tb_c, kmv_k),
+                    "audio_jaccard": kmv_jaccard_batch(aa_v, aa_c, ab_v, ab_c, kmv_k),
+                    "text_hamming": pdf["text_hamming"].values,
+                    "audio_hamming": pdf["audio_hamming"].values,
                 }
             )
 
-    return joined.mapInPandas(run, schema=VERIFIED_SCHEMA)
+    # materialize: consumed by both the borderline and plain branches — the
+    # Arrow scoring pass must not run twice (rows are 6 scalars, tiny)
+    scored = (
+        joined.filter(needs)
+        .select(
+            "a", "b", "text_hamming", "audio_hamming",
+            "a_text_kmv", "a_audio_kmv", "b_text_kmv", "b_audio_kmv",
+        )
+        .mapInPandas(score, schema=_JACCARD_SCHEMA)
+        .localCheckpoint()
+    )
+
+    # borderline text next to strong audio → suffix-array containment check;
+    # only these rows ever see a transcript
+    is_border = (
+        (F.col("audio_jaccard") >= 0.6)
+        & (F.col("text_jaccard") >= 0.05)
+        & (F.col("text_jaccard") < text_thr)
+    )
+    ta = signatures.select(F.col("clip_id").alias("a"), F.col("transcript").alias("a_transcript"))
+    tb = signatures.select(F.col("clip_id").alias("b"), F.col("transcript").alias("b_transcript"))
+    border = scored.filter(is_border).join(ta, "a").join(tb, "b")
+
+    def substr_check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ok = np.fromiter(
+                (
+                    substring_containment(x, y)
+                    for x, y in zip(pdf["a_transcript"], pdf["b_transcript"])
+                ),
+                dtype=bool,
+                count=len(pdf),
+            )
+            out = pdf[["a", "b", "text_jaccard", "audio_jaccard", "text_hamming", "audio_hamming"]].copy()
+            out["substr_ok"] = ok
+            yield out
+
+    border_scored = border.mapInPandas(
+        substr_check, schema=_JACCARD_SCHEMA + ", substr_ok boolean"
+    )
+    plain_scored = scored.filter(~is_border).withColumn("substr_ok", F.lit(False))
+
+    decided = plain_scored.unionByName(border_scored).withColumn(
+        "is_dup",
+        ((F.col("text_jaccard") >= near) & (F.col("audio_jaccard") >= weak))
+        | (
+            (F.col("audio_jaccard") >= near)
+            & ((F.col("text_jaccard") >= weak) | F.col("substr_ok"))
+        )
+        | ((F.col("text_jaccard") >= text_thr) & (F.col("audio_jaccard") >= 0.6)),
+    )
+
+    return passthrough.unionByName(decided.select(*passthrough.columns))

@@ -1,0 +1,132 @@
+"""Two-cluster-size scaling evidence (BASELINE.md protocol).
+
+No real cluster in-sandbox, so the N -> 4N executor criterion is evidenced by
+running the IDENTICAL pipeline on IDENTICAL parquet input at local[8] and
+local[32], shuffle partitions scaled proportionally (2x cores).
+
+Each run is pinned to a CPU set of exactly `cores` CPUs (taskset over the
+whole process tree: JVM + Python workers).  Without pinning, local[8]'s
+Python workers run OUTSIDE the 8 task slots and freeload extra host cores,
+which understates true 8-core-machine throughput and corrupts the ratio —
+a real 8-core executor node bounds everything it runs.
+
+Usage:
+  python tools/scaling_bench.py gen <dir> <n_groups>       # generate input once
+  python tools/scaling_bench.py run <dir> <cores>          # one timed run (JSON)
+  python tools/scaling_bench.py all [<n_groups>]           # gen + 8-core + 32-core
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def gen(out_dir: str, n_groups: int) -> None:
+    from datasketches_pig_spark.data.clips import generate_clips_spark
+    from datasketches_pig_spark.session import get_spark
+
+    spark = get_spark("scaling-gen", cores=32, shuffle_partitions=64)
+    df = generate_clips_spark(spark, n_groups, seed=777, out_dir=out_dir)
+    print(json.dumps({"generated": df.count(), "dir": out_dir}))
+    spark.stop()
+
+
+def run(in_dir: str, cores: int) -> None:
+    from datasketches_pig_spark.config import DedupConfig
+    from datasketches_pig_spark.pipeline import run_pipeline
+    from datasketches_pig_spark.session import get_spark, warm_python_workers
+
+    spark = get_spark(
+        f"scaling-{cores}", cores=cores, shuffle_partitions=2 * cores
+    )
+    warm_python_workers(spark)  # steady-state workers: imports + allocator
+    clips = spark.read.parquet(f"{in_dir}/clips.parquet")
+    n = clips.count()
+
+    # one untimed warm run: page cache, worker heaps at production batch
+    # sizes, JIT — a 10^12-clip production job runs for hours, so steady-state
+    # throughput is the number that scales, not process-startup transients
+    run_pipeline(spark, clips, DedupConfig()).clusters.count()
+
+    # best-of-N trials: the sandbox is a VM with co-tenant CPU steal, so a
+    # single trial is a lottery; the minimum reflects machine capability
+    trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "3"))
+    walls: list[float] = []
+    best = None
+    for _ in range(trials):
+        t0 = time.time()
+        res = run_pipeline(spark, clips, DedupConfig())
+        n_clusters = res.clusters.count()
+        wall = time.time() - t0
+        walls.append(round(wall, 2))
+        if best is None or wall < best[0]:
+            best = (wall, res, n_clusters)
+    wall, res, n_clusters = best
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "clips": n,
+                "clusters": n_clusters,
+                "wall_s": round(wall, 2),
+                "trials": walls,
+                "clips_per_sec": round(n / wall, 1),
+                "stages": [
+                    {k: e[k] for k in ("stage", "wall_s") if k in e}
+                    for e in res.lineage
+                ],
+            }
+        )
+    )
+    spark.stop()
+
+
+def all_(n_groups: int) -> None:
+    d = tempfile.mkdtemp(prefix="dsps_scaling_")
+    me = str(REPO / "tools" / "scaling_bench.py")
+
+    def sub(args: list[str], cpus: int | None = None) -> dict:
+        cmd = [sys.executable, me, *args]
+        if cpus is not None:
+            cmd = ["taskset", "-c", f"0-{cpus - 1}", *cmd]
+        p = subprocess.run(
+            cmd,
+            capture_output=True,
+            text=True,
+            cwd=str(REPO),
+            check=False,
+        )
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+        if not line:
+            print(p.stdout[-2000:], p.stderr[-2000:], file=sys.stderr)
+            raise SystemExit(f"subprocess {args} produced no JSON")
+        return json.loads(line[-1])
+
+    print(json.dumps(sub(["gen", d, str(n_groups)])), file=sys.stderr)
+    r8 = sub(["run", d, "8"], cpus=8)
+    r32 = sub(["run", d, "32"], cpus=32)
+    eff = (r32["clips_per_sec"] / r8["clips_per_sec"]) / 4
+    print(
+        json.dumps(
+            {"N": r8, "fourN": r32, "scaling_efficiency": round(eff, 3)}
+        )
+    )
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1]
+    if cmd == "gen":
+        gen(sys.argv[2], int(sys.argv[3]))
+    elif cmd == "run":
+        run(sys.argv[2], int(sys.argv[3]))
+    else:
+        all_(int(sys.argv[2]) if len(sys.argv) > 2 else 40000)
