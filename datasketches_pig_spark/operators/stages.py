@@ -35,10 +35,14 @@ DECODE_SCHEMA = "clip_id string, pcm binary, sr_hz int, n_samples int, transcrip
 SIGNATURE_SCHEMA = (
     "clip_id string, "
     "exact_key long, "
-    "text_minhash array<long>, text_kmv array<long>, text_simhash long, n_text_shingles int, "
-    "audio_minhash array<long>, audio_kmv array<long>, audio_simhash long, n_audio_shingles int, "
-    "transcript string, dur_ms int"
+    "text_bands array<long>, text_kmv array<long>, text_simhash long, n_text_shingles int, "
+    "audio_bands array<long>, audio_kmv array<long>, audio_simhash long, n_audio_shingles int, "
+    "dur_ms int"
 )
+
+
+def _band_seed(cfg: DedupConfig, modality: str) -> int:
+    return cfg.seed + (1_000_003 if modality == "audio" else 0)
 
 
 def decode_stage(clips: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
@@ -72,13 +76,22 @@ def signature_stage(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Fused decode→shingle→sign pass: clips → signatures table.
 
     Emits per clip: raw-byte exact key (murmur128 h1 of payload), text/audio
-    k-perm MinHash signatures, bottom-k KMV sketches (the verify payload),
-    SimHash fingerprints, shingle counts, and the transcript (small, needed by
-    the substring verifier).
+    LSH **band keys** (the k-perm MinHash signature is computed here and
+    immediately folded into ``band_count`` 64-bit keys — the 128-perm
+    signature itself never leaves the pass, 64 longs travel instead of 256),
+    bottom-k KMV sketches (the verify payload), SimHash fingerprints, and
+    shingle counts.  Transcripts do NOT ride along:
+    the only consumer (the borderline substring verifier) joins them back
+    from the source table for the tiny set of pairs that need them — at
+    production scale that is a column-pruned scan of a small fraction, far
+    cheaper than materializing text through every stage boundary.
     """
     seed = cfg.seed
     num_perm = cfg.num_perm
     kmv_k = cfg.kmv_k
+    bc, rpb = cfg.band_count, cfg.rows_per_band
+    text_band_seed = _band_seed(cfg, "text")
+    audio_band_seed = _band_seed(cfg, "audio")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -105,32 +118,32 @@ def signature_stage(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
             a_sets = audio_shingle_hashes(pcms, list(pdf["sr_hz"]), cfg)
             t_sets = text_shingle_hashes(list(pdf["transcript"]), cfg)
 
-            def pack(sets: list[np.ndarray]):
+            def pack(sets: list[np.ndarray], band_seed: int):
                 counts = np.array([len(s) for s in sets], dtype=np.int64)
                 concat = (
                     np.concatenate(sets) if counts.sum() else np.empty(0, dtype=np.uint64)
                 )
                 mh = minhash_signatures(concat, counts, num_perm, seed)
+                bands = band_hashes(mh, bc, rpb, band_seed)  # (n, band_count)
                 sh = simhash64(concat, counts)
                 kmv = [kmv_bottom_k(s, kmv_k).view(np.int64) for s in sets]
-                return counts, mh.view(np.int64), sh, kmv
+                return counts, bands.view(np.int64), sh, kmv
 
-            t_counts, t_mh, t_sh, t_kmv = pack(t_sets)
-            a_counts, a_mh, a_sh, a_kmv = pack(a_sets)
+            t_counts, t_bands, t_sh, t_kmv = pack(t_sets, text_band_seed)
+            a_counts, a_bands, a_sh, a_kmv = pack(a_sets, audio_band_seed)
 
             yield pd.DataFrame(
                 {
                     "clip_id": pdf["clip_id"].values,
                     "exact_key": e1.view(np.int64),
-                    "text_minhash": list(t_mh),
+                    "text_bands": list(t_bands),
                     "text_kmv": t_kmv,
                     "text_simhash": t_sh,
                     "n_text_shingles": t_counts.astype(np.int32),
-                    "audio_minhash": list(a_mh),
+                    "audio_bands": list(a_bands),
                     "audio_kmv": a_kmv,
                     "audio_simhash": a_sh,
                     "n_audio_shingles": a_counts.astype(np.int32),
-                    "transcript": pdf["transcript"].values,
                     "dur_ms": pdf["dur_ms"].values,
                 }
             )
@@ -144,28 +157,14 @@ BANDS_SCHEMA = "clip_id string, band_key long"
 def bands_stage(signatures: DataFrame, cfg: DedupConfig, modality: str) -> DataFrame:
     """signatures → (clip_id, band_key) rows, ``band_count`` per clip.
 
-    band_key folds (modality, band_id, bucket_hash) into one 64-bit key:
-    murmur over each band's signature slice with a per-(modality, band) seed,
-    so a single equi-join column drives the LSH bucket join.
+    band_key folds (modality, band_id, bucket_hash) into one 64-bit key
+    (computed inside ``signature_stage``'s Arrow pass); this stage is a pure
+    relational explode — whole-stage codegen, no Python.  Clips with no
+    shingles are dropped (they would all share one degenerate bucket).
     """
-    col = f"{modality}_minhash"
-    cnt_col = f"n_{modality}_shingles"
-    seed_base = cfg.seed + (1_000_003 if modality == "audio" else 0)
-    bc, rpb = cfg.band_count, cfg.rows_per_band
+    import pyspark.sql.functions as F
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            pdf = pdf[pdf[cnt_col] > 0]  # empty clips would all share one bucket
-            n = len(pdf)
-            if n == 0:
-                continue
-            sig = np.stack([np.asarray(v, dtype=np.int64) for v in pdf[col]]).view(
-                np.uint64
-            )
-            bh = band_hashes(sig, bc, rpb, seed_base)  # (n, band_count)
-            clip_ids = np.repeat(pdf["clip_id"].values, bc)
-            yield pd.DataFrame(
-                {"clip_id": clip_ids, "band_key": bh.reshape(-1).view(np.int64)}
-            )
-
-    return signatures.select("clip_id", col, cnt_col).mapInPandas(run, schema=BANDS_SCHEMA)
+    return (
+        signatures.filter(F.col(f"n_{modality}_shingles") > 0)
+        .select("clip_id", F.explode(f"{modality}_bands").alias("band_key"))
+    )

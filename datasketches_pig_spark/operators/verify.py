@@ -122,8 +122,6 @@ def substring_containment(x: str, y: str, min_frac: float = 0.8) -> bool:
 # verify stage
 # ---------------------------------------------------------------------------
 
-_KEY_COLS = ["clip_id", "exact_key", "text_simhash", "audio_simhash", "text_kmv", "audio_kmv"]
-
 _JACCARD_SCHEMA = (
     "a string, b string, text_jaccard double, audio_jaccard double, "
     "text_hamming int, audio_hamming int"
@@ -137,8 +135,16 @@ def _gather(col: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     return vals, counts
 
 
-def verify_pairs(pairs: DataFrame, signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+def verify_pairs(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    cfg: DedupConfig,
+    transcripts: DataFrame | None = None,
+) -> DataFrame:
     """candidate (a, b) pairs + signatures → verified pairs with scores.
+
+    ``transcripts`` is any frame with (clip_id, transcript) — normally the
+    source clips table (column-pruned scan); only the borderline rows join it.
 
     Data-volume design (the 100 TB concern): exact-key equality and the
     SimHash Hamming prefilter run **JVM-side** (``bit_count(xor)``, codegen),
@@ -151,12 +157,16 @@ def verify_pairs(pairs: DataFrame, signatures: DataFrame, cfg: DedupConfig) -> D
     near = cfg.near_exact_threshold
     weak = cfg.weak_support_threshold
 
-    payload = signatures.select(*_KEY_COLS)
-    pa = payload.select(*[F.col(c).alias(f"a_{c}") for c in _KEY_COLS])
-    pb = payload.select(*[F.col(c).alias(f"b_{c}") for c in _KEY_COLS])
+    # slim pass first: exact-key + SimHash columns are ~50 B/pair, so the
+    # prefilter decision never touches the ~8 KB/pair KMV payload; only the
+    # surviving pairs join it (second, smaller join)
+    slim_cols = ["clip_id", "exact_key", "text_simhash", "audio_simhash"]
+    slim = signatures.select(*slim_cols)
+    sa = slim.select(*[F.col(c).alias(f"a_{c}") for c in slim_cols])
+    sb = slim.select(*[F.col(c).alias(f"b_{c}") for c in slim_cols])
     joined = (
-        pairs.join(pa, pairs.a == pa.a_clip_id)
-        .join(pb, pairs.b == pb.b_clip_id)
+        pairs.join(sa, pairs.a == sa.a_clip_id)
+        .join(sb, pairs.b == sb.b_clip_id)
         .select(
             "a",
             "b",
@@ -167,10 +177,6 @@ def verify_pairs(pairs: DataFrame, signatures: DataFrame, cfg: DedupConfig) -> D
             F.bit_count(
                 F.col("a_audio_simhash").bitwiseXOR(F.col("b_audio_simhash"))
             ).cast("int").alias("audio_hamming"),
-            "a_text_kmv",
-            "a_audio_kmv",
-            "b_text_kmv",
-            "b_audio_kmv",
         )
     )
 
@@ -211,14 +217,25 @@ def verify_pairs(pairs: DataFrame, signatures: DataFrame, cfg: DedupConfig) -> D
                 }
             )
 
+    kmv = signatures.select("clip_id", "text_kmv", "audio_kmv")
+    ka = kmv.select(
+        F.col("clip_id").alias("a"),
+        F.col("text_kmv").alias("a_text_kmv"),
+        F.col("audio_kmv").alias("a_audio_kmv"),
+    )
+    kb = kmv.select(
+        F.col("clip_id").alias("b"),
+        F.col("text_kmv").alias("b_text_kmv"),
+        F.col("audio_kmv").alias("b_audio_kmv"),
+    )
+
     # materialize: consumed by both the borderline and plain branches — the
     # Arrow scoring pass must not run twice (rows are 6 scalars, tiny)
     scored = (
         joined.filter(needs)
-        .select(
-            "a", "b", "text_hamming", "audio_hamming",
-            "a_text_kmv", "a_audio_kmv", "b_text_kmv", "b_audio_kmv",
-        )
+        .select("a", "b", "text_hamming", "audio_hamming")
+        .join(ka, "a")
+        .join(kb, "b")
         .mapInPandas(score, schema=_JACCARD_SCHEMA)
         .localCheckpoint()
     )
@@ -230,8 +247,9 @@ def verify_pairs(pairs: DataFrame, signatures: DataFrame, cfg: DedupConfig) -> D
         & (F.col("text_jaccard") >= 0.05)
         & (F.col("text_jaccard") < text_thr)
     )
-    ta = signatures.select(F.col("clip_id").alias("a"), F.col("transcript").alias("a_transcript"))
-    tb = signatures.select(F.col("clip_id").alias("b"), F.col("transcript").alias("b_transcript"))
+    tsrc = transcripts if transcripts is not None else signatures
+    ta = tsrc.select(F.col("clip_id").alias("a"), F.col("transcript").alias("a_transcript"))
+    tb = tsrc.select(F.col("clip_id").alias("b"), F.col("transcript").alias("b_transcript"))
     border = scored.filter(is_border).join(ta, "a").join(tb, "b")
 
     def substr_check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

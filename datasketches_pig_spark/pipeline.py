@@ -137,7 +137,12 @@ def run_pipeline(
         .distinct(),
     )
 
-    verified = stage("verified", lambda: verify_pairs(candidates, signatures, cfg))
+    verified = stage(
+        "verified",
+        lambda: verify_pairs(
+            candidates, signatures, cfg, transcripts=clips.select("clip_id", "transcript")
+        ),
+    )
 
     def build_clusters():
         dup_edges = verified.filter(F.col("is_dup")).select("a", "b")

@@ -49,6 +49,13 @@ def get_spark(
     mem = os.environ.get("SPARK_DRIVER_MEMORY", "8g")
     jvm_opts = f"-Xms{mem} -XX:+AlwaysPreTouch -XX:+UseParallelGC"
 
+    # shuffle spill dir: tmpfs when present — in this sandbox every "executor"
+    # shares ONE virtio disk, an artificial serialization a real cluster does
+    # not have (per-node NVMe); shuffle files are transient so tmpfs is safe
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -67,6 +74,8 @@ def get_spark(
     )
     for k, v in _WORKER_ENV.items():
         builder = builder.config(f"spark.executorEnv.{k}", v)
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
