@@ -305,6 +305,77 @@ def q_reservoir_shortcut(spark, sf_dir):
 SQL_RESERVOIR_SHORTCUT = "SELECT s_suppkey, s_nationkey FROM supplier"
 
 
+def q_theta_bounds(spark, sf_dir):
+    from datasketches_pig_spark.sketch.theta import theta_error_bounds, theta_sketch_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = theta_sketch_agg(li, ["l_returnflag"], "l_partkey", THETA_K)
+    b = theta_error_bounds("sketch", THETA_K)
+    return sk.select(
+        "l_returnflag",
+        F.round(b["est"], 1).alias("est"),
+        F.round(b["ub"], 1).alias("ub"),
+        F.round(b["lb"], 1).alias("lb"),
+    )
+
+
+# exact mode (distinct l_partkey per flag < k=4096 at sf0.01): ub == lb == est
+SQL_THETA_BOUNDS = """
+SELECT l_returnflag,
+       ROUND(CAST(COUNT(DISTINCT l_partkey) AS DOUBLE), 1) AS est,
+       ROUND(CAST(COUNT(DISTINCT l_partkey) AS DOUBLE), 1) AS ub,
+       ROUND(CAST(COUNT(DISTINCT l_partkey) AS DOUBLE), 1) AS lb
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_freq_approx(spark, sf_dir):
+    from datasketches_pig_spark.sketch.frequencies import frequent_items_approx
+
+    li = _t(spark, sf_dir, "lineitem")
+    # map size > distinct supplier count at this sf → exact mode, err = 0
+    return frequent_items_approx(
+        li.withColumn("item", F.col("l_suppkey").cast("string")), "item", 10, 4096
+    )
+
+
+SQL_FREQ_APPROX = """
+SELECT CAST(l_suppkey AS VARCHAR) AS item, COUNT(*) AS est, COUNT(*) AS lb, COUNT(*) AS ub
+FROM lineitem GROUP BY l_suppkey
+ORDER BY est DESC, item ASC LIMIT 10
+"""
+
+
+def q_reservoir_union(spark, sf_dir):
+    from datasketches_pig_spark.sketch.sampling import reservoir_union
+
+    cust = _t(spark, sf_dir, "customer")
+    # per-nation partial reservoirs in exact mode (k ≫ rows per nation), then
+    # merge in exact mode (k ≫ total) → the union returns every customer
+    partials = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.collect_list(F.struct("c_custkey", "c_nationkey")).alias("samples"),
+    )
+    merged = reservoir_union(partials, k=1000000)
+    return merged.select("c_custkey", "c_nationkey")
+
+
+SQL_RESERVOIR_UNION = "SELECT c_custkey, c_nationkey FROM customer"
+
+
+def q_aod_ttest(spark, sf_dir):
+    from datasketches_pig_spark.sketch.tuple_sketch import aod_p_values_df
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A")
+    b = li.filter(F.col("l_returnflag") == "N")
+    out = aod_p_values_df(a, b, "l_partkey", ["l_quantity", "l_extendedprice"])
+    return out.select(
+        F.round("p_l_quantity", 6).alias("p_qty"),
+        F.round("p_l_extendedprice", 6).alias("p_price"),
+    )
+
+
 def q_varopt_shortcut(spark, sf_dir):
     from datasketches_pig_spark.sketch.sampling import varopt_sample
 
@@ -723,7 +794,11 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "freq_items": (q_freq_items, SQL_FREQ_ITEMS),
         "freq_events": (q_freq_events, SQL_FREQ_EVENTS),
         "reservoir_shortcut": (q_reservoir_shortcut, SQL_RESERVOIR_SHORTCUT),
+        "reservoir_union": (q_reservoir_union, SQL_RESERVOIR_UNION),
         "varopt_shortcut": (q_varopt_shortcut, SQL_VAROPT_SHORTCUT),
+        "theta_bounds": (q_theta_bounds, SQL_THETA_BOUNDS),
+        "freq_approx": (q_freq_approx, SQL_FREQ_APPROX),
+        "aod_ttest": (q_aod_ttest, None),
         "aod_sums": (q_aod_sums, SQL_AOD_SUMS),
         "aod_estimates": (q_aod_estimates, SQL_AOD_ESTIMATES),
         "aod_means": (q_aod_means, SQL_AOD_MEANS),

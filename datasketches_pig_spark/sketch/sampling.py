@@ -38,6 +38,40 @@ def reservoir_sample(
     return out.drop("__rn", "__g")
 
 
+def reservoir_union(
+    reservoirs: DataFrame,
+    k: int,
+    n_col: str = "n",
+    samples_col: str = "samples",
+    seed: int = 9001,
+) -> DataFrame:
+    """Merge partial reservoirs — the ``sampling.ReservoirUnion`` analog
+    (``pig/sampling/ReservoirUnion.java:48,73-81``).
+
+    Input: one row per partial reservoir, ``(n: long, samples: array<T>)``
+    where ``n`` is the population size the reservoir was drawn from.  Each
+    retained sample stands in for ``n / |samples|`` population rows, so the
+    merge is weighted sampling without replacement over all retained samples
+    (A-ExpJ: key = U^(1/w), keep top-k).  When the total retained count is
+    ≤ k the top-k keeps everything — the reference's exact-mode shortcut
+    falls out for free, and in exact mode (every n == |samples|) the merge
+    is exactly the union of the inputs.
+    """
+    if k < 2:
+        raise ValueError("reservoir k must be >= 2")
+    exploded = reservoirs.select(
+        F.col(n_col).alias("__n"),
+        F.size(samples_col).alias("__sz"),
+        F.explode(samples_col).alias("__s"),
+    )
+    keyed = exploded.withColumn(
+        "__key", F.pow(F.rand(seed), F.col("__sz").cast("double") / F.col("__n"))
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject: per-partition top-k,
+    # then a single k-row merge — no global sort, no single-partition window
+    return keyed.orderBy(F.desc("__key")).limit(k).select("__s.*")
+
+
 def _varopt_group(pdf: pd.DataFrame, k: int, weight_col: str, seed: int) -> pd.DataFrame:
     n = len(pdf)
     if n <= k:

@@ -72,6 +72,49 @@ def aod_p_values(
     ]
 
 
+def aod_p_values_df(
+    df_a: DataFrame, df_b: DataFrame, key_col: str, value_cols: list[str]
+) -> DataFrame:
+    """DataFrame-native Welch t-test: per-side keyed aggregates (1 row each)
+    → cross join → Arrow kernel computes the p-value per metric.  Nothing is
+    collected on the driver; the expensive part (the keyed groupBy) is the
+    same two-phase partial/final aggregation as ``aod_sketch``."""
+    import pandas as pd
+
+    from datasketches_pig_spark.functions.stats import welch_t_test
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        sk = aod_sketch(df, key_col, value_cols)
+        return sk.agg(
+            F.count(F.lit(1)).alias(f"{tag}_n"),
+            *[F.avg(f"sum_{v}").alias(f"{tag}_m_{v}") for v in value_cols],
+            *[F.var_samp(f"sum_{v}").alias(f"{tag}_v_{v}") for v in value_cols],
+        )
+
+    joined = side(df_a, "a").crossJoin(side(df_b, "b"))
+
+    schema = ", ".join(f"p_{v} double" for v in value_cols)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            row = pdf.iloc[0]
+            yield pd.DataFrame(
+                {
+                    f"p_{v}": [
+                        welch_t_test(
+                            row[f"a_m_{v}"], row[f"a_v_{v}"], row["a_n"],
+                            row[f"b_m_{v}"], row[f"b_v_{v}"], row["b_n"],
+                        )
+                    ]
+                    for v in value_cols
+                }
+            )
+
+    return joined.mapInPandas(kernel, schema=schema)
+
+
 def double_summary_sketch(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
     """DataToDoubleSummarySketch analog (sum mode) —
     ``tuple/DataToDoubleSummarySketch.java:33``."""

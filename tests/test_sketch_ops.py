@@ -164,3 +164,27 @@ def test_hll_bounds_cover_truth(spark):
     df = spark.range(50000).select(F.col("id").alias("v"))
     row = hll_estimate_with_bounds(df, "v").collect()[0]
     assert row["lb"] <= 50000 <= row["ub"]
+
+
+def test_reservoir_union_exact_and_sampled(spark):
+    import pyspark.sql.functions as F
+
+    from datasketches_pig_spark.sketch.sampling import reservoir_union
+
+    df = spark.range(200).withColumn("g", (F.col("id") % 4).cast("int"))
+    partials = df.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.collect_list(F.struct("id", "g")).alias("samples"),
+    )
+    # exact mode: k >= total retained -> union returns everything
+    exact = reservoir_union(partials, k=1000).toPandas()
+    assert sorted(exact["id"]) == list(range(200))
+    # sampled mode: exactly k rows, all drawn from the retained samples
+    sampled = reservoir_union(partials, k=50).toPandas()
+    assert len(sampled) == 50
+    assert sampled["id"].is_unique and set(sampled["id"]) <= set(range(200))
+    # ReservoirSampling.java:63-70 k>=2 rule
+    import pytest
+
+    with pytest.raises(ValueError):
+        reservoir_union(partials, k=1)
