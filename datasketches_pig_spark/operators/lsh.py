@@ -3,21 +3,23 @@ hot path.
 
 Scale design (the part that must survive 1000 executors × 100 TB):
 
-* ONE shuffle: ``groupBy(band_key).agg(array_sort(collect_list(clip_id)))``,
-  then pair expansion happens inside whole-stage-codegen'd array expressions
-  (nested ``transform``/``slice``) — no bucket-size side table, no join back,
-  no self-join.  (The previous size-table + equi-self-join form cost 4
-  shuffles and dominated the 4N-core profile; this form is 1 shuffle + the
-  final distinct.)
-* **Hot buckets** (thousands of identical-content clips — silence, jingles)
-  would make all-pairs O(n²) per bucket.  Buckets above ``max_bucket_size``
-  emit *star links* only — every member pairs with the bucket's minimum
-  clip_id; connectivity through the center is preserved for union-find and
-  pair count drops to O(n).  The cap also bounds the per-group state of the
-  aggregation (an adversarial single-key bucket holds one array of member
-  ids — megabytes, not the O(n²) a join would shuffle).
-* AQE skew-join handling stays relevant for the *verify* joins downstream;
-  candidate generation itself no longer joins.
+* **Salted two-level aggregation.**  A naive ``groupBy(band_key)`` puts an
+  entire bucket's member list on one reducer — a pathological bucket (10^8
+  byte-identical silence clips all sharing every band) would concentrate
+  gigabytes on a single task.  Members are therefore salted into
+  ``SALT_SHARDS`` shards first; per-reducer state is bounded by
+  ``bucket_size / SALT_SHARDS`` at level 1 and by
+  ``SALT_SHARDS × (cap + 1)`` at level 2, no matter how hot the key.
+* Pair expansion happens inside whole-stage-codegen'd array expressions
+  (nested ``transform``/``slice``) — no self-join, no bucket-size side table.
+* **Hot buckets** degrade to *star links*: every member pairs with a center
+  instead of all-pairs (O(n), connectivity through the center preserved for
+  union-find).  Level 1 star-links oversized shards to the shard center
+  immediately; level 2 links shard centers through the bucket center, so an
+  arbitrarily hot bucket costs O(n) pairs and O(n/S) peak memory.
+* Buckets at or below ``max_bucket_size`` still get exact all-pairs: a small
+  bucket is never truncated at level 1 (shard ≤ bucket ≤ cap), so level 2
+  sees its complete member list.
 """
 
 from __future__ import annotations
@@ -26,6 +28,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from datasketches_pig_spark.config import DedupConfig
+
+SALT_SHARDS = 16
 
 
 def _all_pairs(m: Column) -> Column:
@@ -49,30 +53,70 @@ def _star_pairs(m: Column) -> Column:
     )
 
 
-def _expand_groups(grouped: DataFrame, cap: int) -> DataFrame:
-    """(key, members:array) rows → (a, b) pair rows (all-pairs ≤ cap, star above)."""
-    m = F.array_sort(F.col("members"))
-    pairs = F.when(F.size(m) <= cap, _all_pairs(m)).otherwise(_star_pairs(m))
+def _expand(df: DataFrame, pairs: Column) -> DataFrame:
     return (
-        grouped.filter(F.size("members") >= 2)
-        .select(F.explode(pairs).alias("p"))
+        df.select(F.explode(pairs).alias("p"))
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
     )
+
+
+def _salted_pairs(
+    keyed: DataFrame, key: str, cap: int, all_pairs_small: bool
+) -> DataFrame:
+    """(key, clip_id) rows → (a, b) pairs with per-reducer state bounded by
+    salting.  ``all_pairs_small``: emit all-pairs for buckets ≤ cap (LSH
+    candidates) or always star-link (exact-key cliques)."""
+    salted = keyed.withColumn(
+        "__salt", F.pmod(F.xxhash64("clip_id"), F.lit(SALT_SHARDS))
+    )
+    shards = salted.groupBy(key, "__salt").agg(
+        F.array_sort(F.collect_list("clip_id")).alias("m"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+
+    # level-1: oversized shards immediately star-link to the shard center and
+    # forward only the center; intact shards forward their full member list
+    truncated = F.col("sz") > cap + 1
+    shard_stars = _expand(
+        shards.filter(truncated), _star_pairs(F.col("m"))
+    )
+    summaries = shards.select(
+        key,
+        F.when(truncated, F.array(F.element_at("m", 1))).otherwise(F.col("m")).alias("m"),
+        "sz",
+    )
+
+    # level-2: per-bucket totals; state ≤ SALT_SHARDS × (cap + 1) members
+    buckets = summaries.groupBy(key).agg(
+        F.array_sort(F.flatten(F.collect_list("m"))).alias("members"),
+        F.sum("sz").alias("bucket_n"),
+    ).filter(F.col("bucket_n") >= 2)
+
+    m = F.col("members")
+    if all_pairs_small:
+        pairs = F.when(F.col("bucket_n") <= cap, _all_pairs(m)).otherwise(_star_pairs(m))
+    else:
+        pairs = _star_pairs(m)
+    bucket_pairs = _expand(buckets, pairs)
+
+    return bucket_pairs.unionByName(shard_stars)
 
 
 def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     """(clip_id, band_key) → candidate (a, b) pairs with a < b (NOT distinct:
     the caller unions exact-dup pairs and dedupes once)."""
-    grouped = bands.groupBy("band_key").agg(F.collect_list("clip_id").alias("members"))
-    return _expand_groups(grouped, cfg.max_bucket_size)
+    return _salted_pairs(bands, "band_key", cfg.max_bucket_size, all_pairs_small=True)
 
 
 def exact_dup_pairs(signatures: DataFrame) -> DataFrame:
     """Byte-identical payload fast path: star-link every clip group sharing an
-    exact payload key (one shuffle, O(n) pairs per group)."""
-    grouped = signatures.groupBy("exact_key").agg(
-        F.collect_list("clip_id").alias("members")
+    exact payload key (exact groups are cliques by construction, the star
+    carries full connectivity; salted, so a viral byte-identical payload at
+    10^12 scale never concentrates on one reducer)."""
+    return _salted_pairs(
+        signatures.select("exact_key", "clip_id"),
+        "exact_key",
+        cap=1,
+        all_pairs_small=False,
     )
-    # always star: exact groups are cliques by construction, the star carries
-    # full connectivity
-    return _expand_groups(grouped, cap=1)

@@ -1,0 +1,45 @@
+"""Hot-bucket candidate generation: salted two-level aggregation must keep
+pair count O(n) (star links), preserve connectivity, and keep exact all-pairs
+for small buckets."""
+
+import pyspark.sql.functions as F
+
+from datasketches_pig_spark.config import DedupConfig
+from datasketches_pig_spark.operators.lsh import candidate_pairs, exact_dup_pairs
+from datasketches_pig_spark.operators.unionfind import connected_components
+
+
+def test_hot_bucket_stays_linear_and_connected(spark):
+    cfg = DedupConfig()
+    hot = spark.range(3000).select(
+        F.format_string("clip_%07d", F.col("id")).alias("clip_id"),
+        F.lit(424242).alias("band_key"),
+    )
+    small = spark.range(5).select(
+        F.format_string("s_%02d", F.col("id")).alias("clip_id"),
+        F.lit(777).alias("band_key"),
+    )
+    bands = hot.unionByName(small)
+    pairs = candidate_pairs(bands, cfg).distinct()
+    n = pairs.count()
+    # hot bucket: O(n) star links (n-1 level-2 + <= n level-1 shard stars),
+    # nowhere near the 4.5M all-pairs; small bucket: exact C(5,2)=10
+    assert n <= 2 * 3000 + 10, n
+    small_pairs = pairs.filter(F.col("a").startswith("s_")).count()
+    assert small_pairs == 10
+    # connectivity: every hot member reaches every other through the stars
+    hot_edges = pairs.filter(~F.col("a").startswith("s_"))
+    vertices = hot.select("clip_id")
+    comp = connected_components(hot_edges, vertices)
+    assert comp.select("cluster_id").distinct().count() == 1
+
+
+def test_exact_dup_star_connectivity(spark):
+    sigs = spark.range(500).select(
+        F.format_string("c_%04d", F.col("id")).alias("clip_id"),
+        F.lit(99).alias("exact_key"),
+    )
+    pairs = exact_dup_pairs(sigs).distinct()
+    assert pairs.count() < 2 * 500  # star, not clique
+    comp = connected_components(pairs, sigs.select("clip_id"))
+    assert comp.select("cluster_id").distinct().count() == 1
