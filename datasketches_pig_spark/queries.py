@@ -305,6 +305,65 @@ def q_reservoir_shortcut(spark, sf_dir):
 SQL_RESERVOIR_SHORTCUT = "SELECT s_suppkey, s_nationkey FROM supplier"
 
 
+def q_varopt_union(spark, sf_dir):
+    from datasketches_pig_spark.sketch.sampling import varopt_sample, varopt_union
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", F.col("s_acctbal").cast("double").alias("weight")
+    )
+    # partial VarOpt per nation, exact mode (k ≫ group size), then merge —
+    # also exact mode, so the union returns every row at its original weight
+    partials = varopt_sample(
+        sup, k=100000, weight_col="weight", group_cols=["s_nationkey"]
+    )
+    merged = varopt_union(partials.drop("weight"), k=100000)
+    return merged.select("s_suppkey", F.round("vo_weight", 2).alias("vo_weight"))
+
+
+SQL_VAROPT_UNION = (
+    "SELECT s_suppkey, ROUND(CAST(s_acctbal AS DOUBLE), 2) AS vo_weight FROM supplier"
+)
+
+
+def q_kll_even_quantiles(spark, sf_dir):
+    from datasketches_pig_spark.sketch.quantiles import get_even_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = get_even_quantiles(li, "l_extendedprice", 5)
+    return out.select(
+        *[F.round(c, 2).alias(f"q{i}") for i, c in enumerate(out.columns)]
+    )
+
+
+SQL_KLL_EVEN_QUANTILES = """
+SELECT ROUND(quantile_cont(l_extendedprice, 0.00), 2) AS q0,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS q1,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 2) AS q2,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS q3,
+       ROUND(quantile_cont(l_extendedprice, 1.00), 2) AS q4
+FROM lineitem
+"""
+
+
+def q_strings_pmf(spark, sf_dir):
+    from datasketches_pig_spark.sketch.quantiles import get_pmf
+
+    part = _t(spark, sf_dir, "part")
+    out = get_pmf(part, "p_type", ["LARGE", "PROMO", "STANDARD"])
+    return out.select(
+        *[F.round(f"pmf_{i}", 6).alias(f"pmf_{i}") for i in range(4)]
+    )
+
+
+SQL_STRINGS_PMF = """
+SELECT ROUND(SUM(CASE WHEN p_type < 'LARGE' THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS pmf_0,
+       ROUND(SUM(CASE WHEN p_type >= 'LARGE' AND p_type < 'PROMO' THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS pmf_1,
+       ROUND(SUM(CASE WHEN p_type >= 'PROMO' AND p_type < 'STANDARD' THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS pmf_2,
+       ROUND(SUM(CASE WHEN p_type >= 'STANDARD' THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS pmf_3
+FROM part
+"""
+
+
 def q_theta_bounds(spark, sf_dir):
     from datasketches_pig_spark.sketch.theta import theta_error_bounds, theta_sketch_agg
 
@@ -796,6 +855,9 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "reservoir_shortcut": (q_reservoir_shortcut, SQL_RESERVOIR_SHORTCUT),
         "reservoir_union": (q_reservoir_union, SQL_RESERVOIR_UNION),
         "varopt_shortcut": (q_varopt_shortcut, SQL_VAROPT_SHORTCUT),
+        "varopt_union": (q_varopt_union, SQL_VAROPT_UNION),
+        "kll_even_quantiles": (q_kll_even_quantiles, SQL_KLL_EVEN_QUANTILES),
+        "strings_pmf": (q_strings_pmf, SQL_STRINGS_PMF),
         "theta_bounds": (q_theta_bounds, SQL_THETA_BOUNDS),
         "freq_approx": (q_freq_approx, SQL_FREQ_APPROX),
         "aod_ttest": (q_aod_ttest, None),

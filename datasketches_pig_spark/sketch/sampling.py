@@ -72,6 +72,22 @@ def reservoir_union(
     return keyed.orderBy(F.desc("__key")).limit(k).select("__s.*")
 
 
+def varopt_union(
+    partials: DataFrame,
+    k: int = DEFAULT_TARGET_K,
+    weight_col: str = "vo_weight",
+    seed: int = 9001,
+) -> DataFrame:
+    """Merge partial VarOpt samples — the ``sampling.VarOptUnion`` analog
+    (``pig/sampling/VarOptUnion.java:46``).  A VarOpt sample is itself a
+    weighted population whose adjusted weights (``vo_weight``) are unbiased
+    for the originals, so the merge is VarOpt over the union of the partial
+    samples keyed on those adjusted weights.  The n ≤ k shortcut makes the
+    exact mode exact: merging exact-mode partials returns every row with its
+    original weight."""
+    return varopt_sample(partials, k=k, weight_col=weight_col, seed=seed)
+
+
 def _varopt_group(pdf: pd.DataFrame, k: int, weight_col: str, seed: int) -> pd.DataFrame:
     n = len(pdf)
     if n <= k:
@@ -122,7 +138,7 @@ def varopt_sample(
 ) -> DataFrame:
     """Weighted VarOpt sample per group → original columns + vo_weight."""
     keys = group_cols or []
-    schema_fields = df.schema.fields
+    schema_fields = [f for f in df.schema.fields if f.name != "vo_weight"]
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in schema_fields
     ) + ", vo_weight double"
