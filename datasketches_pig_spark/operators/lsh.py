@@ -53,6 +53,17 @@ def _star_pairs(m: Column) -> Column:
     )
 
 
+def _star_pairs_unsorted(m: Column) -> Column:
+    """Star pairs without requiring a sorted array: center = array_min
+    (member ids are unique within a bucket, so the filter drops exactly the
+    center).  Saves sorting arbitrarily large level-1 shard lists."""
+    center = F.array_min(m)
+    return F.transform(
+        F.filter(m, lambda y: y != center),
+        lambda y: F.struct(center.alias("a"), y.alias("b")),
+    )
+
+
 def _expand(df: DataFrame, pairs: Column) -> DataFrame:
     return (
         df.select(F.explode(pairs).alias("p"))
@@ -70,8 +81,10 @@ def _salted_pairs(
     salted = keyed.withColumn(
         "__salt", F.pmod(F.xxhash64("clip_id"), F.lit(SALT_SHARDS))
     )
+    # level-1 lists stay unsorted — only the bounded level-2 arrays are
+    # sorted; the shard star needs just the min element
     shards = salted.groupBy(key, "__salt").agg(
-        F.array_sort(F.collect_list("clip_id")).alias("m"),
+        F.collect_list("clip_id").alias("m"),
         F.count(F.lit(1)).alias("sz"),
     )
 
@@ -79,11 +92,11 @@ def _salted_pairs(
     # forward only the center; intact shards forward their full member list
     truncated = F.col("sz") > cap + 1
     shard_stars = _expand(
-        shards.filter(truncated), _star_pairs(F.col("m"))
+        shards.filter(truncated), _star_pairs_unsorted(F.col("m"))
     )
     summaries = shards.select(
         key,
-        F.when(truncated, F.array(F.element_at("m", 1))).otherwise(F.col("m")).alias("m"),
+        F.when(truncated, F.array(F.array_min("m"))).otherwise(F.col("m")).alias("m"),
         "sz",
     )
 
