@@ -116,6 +116,21 @@ def _salted_pairs(
     return bucket_pairs.unionByName(shard_stars)
 
 
+def bucket_pairs(
+    keyed: DataFrame,
+    key: str,
+    id_col: str,
+    cap: int,
+    all_pairs_small: bool = True,
+) -> DataFrame:
+    """Public form of the salted bucket-pair expansion for any (key, id)
+    frame — used by the document-dedup operators too.  Returns (a, b) with
+    a < b, not distinct."""
+    renamed = keyed.select(F.col(key), F.col(id_col).alias("clip_id"))
+    out = _salted_pairs(renamed, key, cap, all_pairs_small)
+    return out
+
+
 def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     """(clip_id, band_key) → candidate (a, b) pairs with a < b (NOT distinct:
     the caller unions exact-dup pairs and dedupes once)."""

@@ -180,17 +180,14 @@ def minhash_lsh_candidates(
                 }
             )
 
-    # materialize: the self-join scans bands twice, and bands must not re-run
-    # the Arrow minhash pass per scan (same rule as the clip pipeline's
-    # checkpointed bands stage)
     bands = sigs.select("id", "minhash", "n_shingles").mapInPandas(
         run, "id long, band_key long"
-    ).localCheckpoint()
-    left = bands.select("band_key", F.col("id").alias("a"))
-    right = bands.select("band_key", F.col("id").alias("b"))
-    return left.join(right, "band_key").filter(F.col("a") < F.col("b")).select(
-        "a", "b"
-    ).distinct()
+    )
+    # salted single-shuffle bucket expansion (same operator as the clip
+    # pipeline: hot buckets star-link, small buckets exact all-pairs)
+    from datasketches_pig_spark.operators.lsh import bucket_pairs
+
+    return bucket_pairs(bands, "band_key", "id", cap=64).distinct()
 
 
 def minhash_dedup_pairs(
@@ -240,39 +237,37 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit fingerprints, banded by four 16-bit
     chunks (a pair within Hamming ≤ 3 must agree on ≥ 1 chunk — pigeonhole),
-    exact Hamming verify on candidates."""
-    sigs = minhash_stage(df, id_col, text_col, n, num_perm=8, seed=seed)
+    exact Hamming verify on candidates.
+
+    Chunk buckets live in a 2^16 key space, so at corpus scale every bucket
+    is hot — candidates come from the salted star/all-pairs expansion
+    (connectivity-preserving in oversized buckets), and the Hamming verify is
+    a codegen'd ``bit_count(xor)``, never Python."""
+    from datasketches_pig_spark.operators.lsh import bucket_pairs
+
+    sigs = minhash_stage(df, id_col, text_col, n, num_perm=8, seed=seed).localCheckpoint()
     chunks = sigs.select(
         "id",
-        "simhash",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("chunk"),
-                        F.shiftright("simhash", 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("val"),
+                    (
+                        F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                        + F.lit(i << 17)
                     )
                     for i in range(4)
                 ]
             )
-        ).alias("c"),
-    ).select("id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
-    a = chunks.select(
-        F.col("id").alias("a"), F.col("simhash").alias("sim_a"), "chunk", "val"
+        ).alias("ckey"),
     )
-    b = chunks.select(
-        F.col("id").alias("b"), F.col("simhash").alias("sim_b"), "chunk", "val"
+    cand = bucket_pairs(chunks, "ckey", "id", cap=64).distinct()
+    sa = sigs.select(F.col("id").alias("a"), F.col("simhash").alias("sim_a"))
+    sb = sigs.select(F.col("id").alias("b"), F.col("simhash").alias("sim_b"))
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
     )
-    cand = (
-        a.join(b, ["chunk", "val"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sim_a", "sim_b")
-        .distinct()
-    )
-    xor = F.col("sim_a").bitwiseXOR(F.col("sim_b"))
-    ham = F.bit_count(xor)
-    return cand.withColumn("hamming", ham).filter(
-        F.col("hamming") <= max_hamming
-    ).select("a", "b", "hamming")

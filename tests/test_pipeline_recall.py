@@ -94,3 +94,35 @@ def test_resume_refuses_config_change(spark, tmp_run_dir):
     run_pipeline(spark, clips, DedupConfig(), run_dir=tmp_run_dir)
     with pytest.raises(ValueError, match="refusing to resume"):
         run_pipeline(spark, clips, DedupConfig(jaccard_threshold=0.5), run_dir=tmp_run_dir)
+
+
+def test_resume_after_partial_run(spark, tmp_run_dir):
+    """Kill-mid-run emulation: a run whose manifest records only the first two
+    stages (signatures, bands) resumes there and recomputes the rest,
+    producing clusters identical to an uninterrupted run (FIXTURES.md F4e)."""
+    import json
+    import os
+
+    from datasketches_pig_spark.config import DedupConfig
+    from datasketches_pig_spark.data.clips import generate_clips_spark
+    from datasketches_pig_spark.pipeline import run_pipeline
+
+    clips = generate_clips_spark(spark, n_groups=40, seed=21, out_dir=f"{tmp_run_dir}/in")
+    full = run_pipeline(spark, clips, DedupConfig(), run_dir=f"{tmp_run_dir}/ckpt")
+    expected = {tuple(r) for r in full.clusters.collect()}
+
+    # drop every stage after 'bands' from the manifest — as if the process
+    # died mid-candidates before the commit record was written
+    mpath = f"{tmp_run_dir}/ckpt/manifest.json"
+    with open(mpath) as f:
+        m = json.load(f)
+    for stage in ("candidates", "verified", "clusters"):
+        m["stages"].pop(stage, None)
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+
+    r2 = run_pipeline(spark, clips, DedupConfig(), run_dir=f"{tmp_run_dir}/ckpt")
+    resumed = {e["stage"]: e.get("resumed") for e in r2.lineage}
+    assert resumed["signatures"] and resumed["bands"]
+    assert not resumed["candidates"] and not resumed["clusters"]
+    assert {tuple(r) for r in r2.clusters.collect()} == expected
