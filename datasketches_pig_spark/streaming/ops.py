@@ -110,3 +110,40 @@ def streaming_theta_distinct(keyed: DataFrame, k: int = 256, seed: int = 9001) -
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_DEDUP_OUT = "dedup_key string, doc_id string"
+_DEDUP_STATE = "seen int"
+
+
+def streaming_first_seen(keyed: DataFrame) -> DataFrame:
+    """Ingest-time exact dedup: emit only the FIRST occurrence of each
+    ``dedup_key`` across the whole stream (state = one flag per key).
+
+    Input: streaming DataFrame with (dedup_key string, doc_id string) — the
+    key is typically a content hash (``murmur3_h1`` of normalized text or the
+    raw payload's exact key).  At 10^12 scale the per-key state is a single
+    int, partitioned by key across executors; this is the streaming form of
+    the pipeline's exact-byte fast path.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            return  # key already emitted in an earlier micro-batch
+        first = None
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                first = str(pdf["doc_id"].iloc[0])
+        state.update((1,))
+        if first is not None:
+            yield pd.DataFrame({"dedup_key": [key[0]], "doc_id": [first]})
+
+    return keyed.groupBy("dedup_key").applyInPandasWithState(
+        update,
+        outputStructType=_DEDUP_OUT,
+        stateStructType=_DEDUP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

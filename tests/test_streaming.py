@@ -134,3 +134,52 @@ def test_streaming_theta_distinct_accumulates(spark):
         assert final.loc["b", "estimate"] == 30.0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_first_seen_dedup(spark, tmp_path):
+    """Two micro-batches with overlapping keys: each key emitted exactly once,
+    on its first appearance."""
+    import pandas as pd
+
+    from datasketches_pig_spark.streaming.ops import streaming_first_seen
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+
+    def run_batch():
+        stream = (
+            spark.readStream.schema("dedup_key string, doc_id string")
+            .json(str(src))
+        )
+
+        def sink(batch_df, _id):
+            batch_df.write.mode("append").parquet(str(out))
+
+        q = (
+            streaming_first_seen(stream)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    pd.DataFrame({"dedup_key": ["k1", "k2", "k1"], "doc_id": ["a", "b", "c"]}).to_json(
+        src / "batch0.json", orient="records", lines=True
+    )
+    run_batch()
+    # second batch: k2 repeats (must not re-emit), k3 is new
+    pd.DataFrame({"dedup_key": ["k2", "k3"], "doc_id": ["d", "e"]}).to_json(
+        src / "batch1.json", orient="records", lines=True
+    )
+    run_batch()
+
+    got = {
+        (r.dedup_key, r.doc_id)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert {k for k, _ in got} == {"k1", "k2", "k3"}
+    assert ("k2", "d") not in got  # second occurrence suppressed
