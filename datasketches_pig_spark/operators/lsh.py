@@ -82,11 +82,14 @@ def _salted_pairs(
         "__salt", F.pmod(F.xxhash64("clip_id"), F.lit(SALT_SHARDS))
     )
     # level-1 lists stay unsorted — only the bounded level-2 arrays are
-    # sorted; the shard star needs just the min element
+    # sorted; the shard star needs just the min element.  persist(): two
+    # consumers below (shard stars + level-2 summaries) must not re-run the
+    # upstream lineage — for document dedup that lineage is the whole Arrow
+    # minhash pass (lazy cache, populated by the first action)
     shards = salted.groupBy(key, "__salt").agg(
         F.collect_list("clip_id").alias("m"),
         F.count(F.lit(1)).alias("sz"),
-    )
+    ).persist()
 
     # level-1: oversized shards immediately star-link to the shard center and
     # forward only the center; intact shards forward their full member list
