@@ -160,3 +160,115 @@ def rhp_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def train_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 8,
+    sample: int = 20000,
+    seed: int = 9001,
+) -> np.ndarray:
+    """Deterministic Lloyd k-means on a bounded sample — the IVF coarse
+    quantizer.  At 100 TB you train on a sampled fraction (the standard IVF
+    recipe); the sample cap bounds driver memory regardless of corpus size."""
+    pdf = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .limit(sample)
+        .toPandas()
+    )
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+    x = x / (np.linalg.norm(x, axis=1, keepdims=True) + 1e-30)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / (np.linalg.norm(m) + 1e-30)
+    return cents
+
+
+def _assign_centroids(
+    df: DataFrame, id_out: str, vec_col: str, cents: np.ndarray, n_probe: int
+) -> DataFrame:
+    """(id, vec) → n_probe rows (id, centroid_id), vectorized Arrow kernel."""
+    import pandas as pd
+
+    n_probe = min(n_probe, len(cents))
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            x = x / (np.linalg.norm(x, axis=1, keepdims=True) + 1e-30)
+            sims = x @ cents.T
+            top = np.argsort(-sims, axis=1)[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    id_out: np.repeat(pdf["id"].values, n_probe),
+                    "centroid_id": top.reshape(-1).astype(np.int32),
+                }
+            )
+
+    src = df.select(F.col(df.columns[0]).alias("id"), F.col(vec_col).alias("v"))
+    return src.mapInPandas(run, schema=f"{id_out} long, centroid_id int")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 9001,
+) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer → corpus rows live in one inverted
+    list each, queries probe their ``n_probe`` nearest lists → exact cosine
+    re-rank inside the probed lists only.  The scan prunes to
+    ~n_probe/n_centroids of the corpus; at scale the corpus side is
+    pre-partitioned (bucketed) by centroid_id so a probe is a partition-
+    pruned read, not a shuffle."""
+    cents = train_centroids(corpus, vec_col, n_centroids, seed=seed)
+
+    c_assign = _assign_centroids(
+        corpus.select(id_col, vec_col), "vec_id", vec_col, cents, n_probe=1
+    )
+    q_assign = _assign_centroids(
+        queries.select(query_id_col, vec_col), "query_id", vec_col, cents, n_probe=n_probe
+    )
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cnorm"),
+    ).join(c_assign, "vec_id")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qnorm"),
+    ).join(q_assign, "query_id")
+
+    scored = c.join(F.broadcast(q), "centroid_id").select(
+        "query_id",
+        "vec_id",
+        (
+            _dot(F.col("cvec"), F.col("qvec"))
+            / (F.col("cnorm") * F.col("qnorm") + F.lit(1e-30))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.groupBy("query_id", "vec_id").agg(F.max("cosine").alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

@@ -823,6 +823,20 @@ def q_ann_lsh(spark, sf_dir):
     return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def q_ann_ivf(spark, sf_dir):
+    from datasketches_pig_spark.ann.knn import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    out = ivf_topk(corpus, queries, k=5, n_centroids=8, n_probe=4)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
 def q_murmur3(spark, sf_dir):
     from datasketches_pig_spark.functions.spark_udfs import murmur3_128
 
@@ -884,5 +898,6 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "doc_fingerprint": (q_fingerprint, None),
         "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
         "ann_lsh": (q_ann_lsh, None),
+        "ann_ivf": (q_ann_ivf, None),
         "murmur3": (q_murmur3, None),
     }

@@ -127,3 +127,33 @@ def test_ann_lsh_recall_vs_brute(spark):
     for q in range(5):
         assert top1[q] == q + 40  # planted twin is the true top neighbor
         assert top1[q] in lsh_found[q], f"LSH missed the true neighbor for query {q}"
+
+
+def test_ann_ivf_recall_vs_brute(spark):
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from datasketches_pig_spark.ann.knn import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(8, 16))
+    rows = []
+    vid = 0
+    for c in range(8):
+        for _ in range(25):
+            v = base[c] + rng.normal(scale=0.15, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = df.filter(F.col("vec_id") >= 4)
+    brute = cosine_topk(corpus, queries, k=5)
+    ivf = ivf_topk(corpus, queries, k=5, n_centroids=8, n_probe=3)
+    bt = {(r.query_id, r.vec_id) for r in brute.collect()}
+    it = {(r.query_id, r.vec_id) for r in ivf.collect()}
+    recall = len(bt & it) / len(bt)
+    # clustered corpus: the probed lists must contain nearly all true
+    # neighbors (same-cluster vectors land in the same inverted list)
+    assert recall >= 0.9, recall
