@@ -141,6 +141,75 @@ SELECT ROUND(i.n * 1.0 / u.n, 6) AS jaccard FROM i, u
 """
 
 
+def q_theta_jaccard_bounds(spark, sf_dir):
+    from datasketches_pig_spark.sketch.theta import theta_jaccard_bounds
+
+    pair = _flag_sketches(spark, sf_dir)
+    b = theta_jaccard_bounds(F.col("ska"), F.col("skr"), THETA_K)
+    # exact mode at sf0.01 (distinct partkeys per flag < k) → lb == est == ub
+    return pair.select(
+        F.round(b["lb"], 6).alias("lb"),
+        F.round(b["est"], 6).alias("est"),
+        F.round(b["ub"], 6).alias("ub"),
+    )
+
+
+SQL_THETA_JACCARD_BOUNDS = """
+WITH a AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'A'),
+     r AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+     i AS (SELECT COUNT(*) n FROM (SELECT * FROM a INTERSECT SELECT * FROM r)),
+     u AS (SELECT COUNT(*) n FROM (SELECT * FROM a UNION SELECT * FROM r))
+SELECT ROUND(i.n * 1.0 / u.n, 6) AS lb,
+       ROUND(i.n * 1.0 / u.n, 6) AS est,
+       ROUND(i.n * 1.0 / u.n, 6) AS ub
+FROM i, u
+"""
+
+
+def q_rollup_agg(spark, sf_dir):
+    """Grouping-sets coverage (SURVEY §2.10): rollup over (returnflag,
+    linestatus) with grouping-level marker."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.round("sum_qty", 2).alias("sum_qty"),
+            "n",
+            "gid",
+        )
+    )
+
+
+SQL_ROLLUP_AGG = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       COUNT(*) AS n,
+       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_hll_bounds(spark, sf_dir):
+    from datasketches_pig_spark.sketch.distinct import hll_estimate_with_bounds
+
+    orders = _t(spark, sf_dir, "orders")
+    out = hll_estimate_with_bounds(orders, "o_custkey", ["o_orderpriority"])
+    return out.select(
+        "o_orderpriority",
+        F.round("est", 1).alias("est"),
+        F.round("lb", 1).alias("lb"),
+        F.round("ub", 1).alias("ub"),
+    )
+
+
 def q_hll_distinct(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     from datasketches_pig_spark.sketch.distinct import hll_distinct
@@ -873,6 +942,9 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "kll_even_quantiles": (q_kll_even_quantiles, SQL_KLL_EVEN_QUANTILES),
         "strings_pmf": (q_strings_pmf, SQL_STRINGS_PMF),
         "theta_bounds": (q_theta_bounds, SQL_THETA_BOUNDS),
+        "theta_jaccard_bounds": (q_theta_jaccard_bounds, SQL_THETA_JACCARD_BOUNDS),
+        "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
+        "hll_bounds": (q_hll_bounds, None),
         "freq_approx": (q_freq_approx, SQL_FREQ_APPROX),
         "aod_ttest": (q_aod_ttest, None),
         "aod_sums": (q_aod_sums, SQL_AOD_SUMS),
