@@ -698,8 +698,8 @@ WITH lagged AS (
   FROM events WHERE user_id < 200
 )
 SELECT user_id,
-       SUM(CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
-                THEN 1 ELSE 0 END) AS n_sessions,
+       CAST(SUM(CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        COUNT(*) AS n_events
 FROM lagged GROUP BY user_id
 """

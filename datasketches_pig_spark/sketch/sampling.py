@@ -32,10 +32,15 @@ def reservoir_sample(
     ``ReservoirSampling.java:63-70``)."""
     if k < 2:
         raise ValueError("reservoir k must be >= 2")
-    keys = group_cols or [F.lit(1).alias("__g")]
-    w = Window.partitionBy(*keys).orderBy(F.rand(seed), *[c for c in (group_cols or [])])
+    if not group_cols:
+        # Ungrouped: orderBy+limit compiles to TakeOrderedAndProject —
+        # per-partition bottom-k then one k-row merge.  Never a
+        # single-partition global window (that was a one-task sort of the
+        # whole table).  The <= k shortcut falls out: limit keeps all rows.
+        return df.orderBy(F.rand(seed)).limit(k)
+    w = Window.partitionBy(*group_cols).orderBy(F.rand(seed), *group_cols)
     out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
-    return out.drop("__rn", "__g")
+    return out.drop("__rn")
 
 
 def reservoir_union(
@@ -136,7 +141,16 @@ def varopt_sample(
     group_cols: list[str] | None = None,
     seed: int = 9001,
 ) -> DataFrame:
-    """Weighted VarOpt sample per group → original columns + vo_weight."""
+    """Weighted VarOpt sample per group → original columns + vo_weight.
+
+    Ungrouped path is the reference's Algebraic split
+    (``sampling/DataToVarOptSketch.java:45`` initial / ``VarOptUnion.java:46``
+    final): a per-partition partial VarOpt runs in ``mapInPandas`` with state
+    bounded at k + one Arrow batch, then a single bounded merge over at most
+    n_partitions * k partial rows — the full table never ships to one Python
+    worker.  VarOpt-of-VarOpt is unbiased because adjusted weights are
+    unbiased for the originals.
+    """
     keys = group_cols or []
     schema_fields = [f for f in df.schema.fields if f.name != "vo_weight"]
     out_schema = ", ".join(
@@ -144,13 +158,28 @@ def varopt_sample(
     ) + ", vo_weight double"
 
     if keys:
-        grouped = df.groupBy(*keys)
-    else:
-        df = df.withColumn("__g", F.lit(1))
-        grouped = df.groupBy("__g")
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _varopt_group(pdf, k, weight_col, seed)
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        res = _varopt_group(pdf.drop(columns=["__g"], errors="ignore"), k, weight_col, seed)
-        return res
+        return df.groupBy(*keys).applyInPandas(run, schema=out_schema)
 
-    return grouped.applyInPandas(run, schema=out_schema)
+    def partial(batches):
+        cur = None
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["vo_weight"] = pdf[weight_col].astype(float)
+            pool = pdf if cur is None else pd.concat([cur, pdf], ignore_index=True)
+            cur = _varopt_group(pool, k, "vo_weight", seed)
+        if cur is not None and len(cur):
+            yield cur
+
+    partials = df.mapInPandas(partial, schema=out_schema)
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _varopt_group(pdf.drop(columns=["__g"]), k, "vo_weight", seed)
+
+    return (
+        partials.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(final, schema=out_schema)
+    )

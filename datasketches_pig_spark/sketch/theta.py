@@ -5,7 +5,7 @@ bottom-k (KMV) sketch over MurmurHash3(seed 9001) values with full set
 algebra.  Here the sketch is an ``array<long>`` column: the k smallest hash
 values in *sign-flipped* int64 representation (signed order == unsigned
 order), built with pure relational operators — hash UDF → distinct →
-windowed bottom-k → sorted array.  Catalyst handles partial aggregation,
+salted two-level bottom-k → sorted array.  Catalyst handles partial aggregation,
 shuffle and codegen; no sketch bytes, no custom aggregation buffers.
 
 Exact-mode contract preserved: below k entries the sketch retains everything
@@ -25,8 +25,35 @@ from pyspark.sql import Column, DataFrame, Window
 from datasketches_pig_spark.functions.spark_udfs import murmur3_h1_ordered
 
 DEFAULT_K = 4096  # reference default nominal entries (dictionary.html:42-44)
+_N_SALTS = 32  # two-level bottom-k fan-out; merge state <= _N_SALTS * k per group
 _TWO63 = 2.0**63
 _TWO64 = 2.0**64
+
+
+def _two_level_bottom_k(
+    hashed: DataFrame, group_cols: list[str], k: int, n_salts: int = _N_SALTS
+) -> DataFrame:
+    """Bounded-state bottom-k: the Algebraic initial/final split of
+    ``theta/DataToSketch.java:289-302`` expressed relationally.
+
+    Level 1 computes bottom-k per (group, salt) — the window sort is a
+    spillable external sort spread over ``n_salts`` tasks per group, so a
+    group with 10^9 distinct hashes is never a single-task sort.  Level 2
+    merges at most ``n_salts`` k-arrays per group (state <= n_salts * k
+    int64s, ~1 MB at k=4096/salts=32).  Input must already be deduped on
+    (group_cols, __h); salting by a hash of __h keeps partials disjoint.
+    """
+    salted = hashed.withColumn("__salt", F.pmod(F.xxhash64("__h"), F.lit(n_salts)))
+    w = Window.partitionBy(*group_cols, "__salt").orderBy("__h")
+    partial = (
+        salted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(*group_cols, "__salt")
+        .agg(F.array_sort(F.collect_list("__h")).alias("__p"))
+    )
+    return partial.groupBy(*group_cols).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("__p"))), 1, k).alias("sketch")
+    )
 
 
 def theta_sketch_agg(
@@ -39,18 +66,13 @@ def theta_sketch_agg(
     """Build a KMV sketch per group: group_cols + ``sketch array<long>``.
 
     Scale shape: dropDuplicates is a partial-agg-friendly shuffle on
-    (groups, hash); the window bottom-k then works on pre-deduped rows.
+    (groups, hash); bottom-k then runs as a salted two-level aggregation so
+    no task ever sorts a whole group (see ``_two_level_bottom_k``).
     """
     hashed = df.select(
         *group_cols, murmur3_h1_ordered(F.col(value_col), seed).alias("__h")
     ).dropna(subset=["__h"]).dropDuplicates([*group_cols, "__h"])
-    w = Window.partitionBy(*group_cols).orderBy("__h")
-    return (
-        hashed.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .groupBy(*group_cols)
-        .agg(F.sort_array(F.collect_list("__h")).alias("sketch"))
-    )
+    return _two_level_bottom_k(hashed, group_cols, k)
 
 
 def theta_estimate(sketch: Column | str, k: int = DEFAULT_K) -> Column:
@@ -92,13 +114,7 @@ def theta_union_agg(df: DataFrame, group_cols: list[str], sketch_col: str, k: in
     exploded = df.select(*group_cols, F.explode(sketch_col).alias("__h")).dropDuplicates(
         [*group_cols, "__h"]
     )
-    w = Window.partitionBy(*group_cols).orderBy("__h")
-    return (
-        exploded.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .groupBy(*group_cols)
-        .agg(F.sort_array(F.collect_list("__h")).alias("sketch"))
-    )
+    return _two_level_bottom_k(exploded, group_cols, k)
 
 
 def theta_intersect(a: Column, b: Column, k: int = DEFAULT_K) -> Column:

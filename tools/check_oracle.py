@@ -40,6 +40,38 @@ def canon(v):
     return str(v)
 
 
+def _type_class(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, (list, tuple)):
+        return "list"
+    return type(v).__name__
+
+
+def type_mismatches(s_cols, s_rows, o_cols, o_rows):
+    """Per-column value-type classes that differ between Spark and oracle."""
+
+    def classes(cols, rows):
+        out = {}
+        for i, c in enumerate(cols):
+            seen = {_type_class(r[i]) for r in rows} - {None}
+            out[c] = seen
+        return out
+
+    sc, oc = classes(s_cols, s_rows), classes(o_cols, o_rows)
+    bad = []
+    for c in sc:
+        if sc[c] and oc.get(c) and sc[c] != oc[c]:
+            bad.append(f"{c}: spark={sorted(sc[c])} oracle={sorted(oc[c])}")
+    return "; ".join(bad)
+
+
 def value_hash(cols: list[str], rows: list[tuple]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
@@ -88,8 +120,20 @@ def main() -> None:
             continue
         try:
             res = con.execute(sql)
-            o_cols = [d[0] for d in res.description]
-            o_rows = res.fetchall()
+            # Fetch via pandas: DuckDB HUGEINT becomes float64 here (as it
+            # would for any pandas-based harness), whereas fetchall() would
+            # hand back a Python int and hide the type drift.
+            o_df = res.df()
+            o_cols = list(o_df.columns)
+            o_rows = [
+                tuple(
+                    None
+                    if v is None or (isinstance(v, float) and math.isnan(v))
+                    else (v.item() if hasattr(v, "item") else v)
+                    for v in row
+                )
+                for row in o_df.itertuples(index=False, name=None)
+            ]
         except Exception as e:  # noqa: BLE001
             failed.append((name, f"ORACLE ERROR: {e}"))
             print(f"FAIL  {name}: oracle error: {str(e)[:300]}")
@@ -97,6 +141,14 @@ def main() -> None:
         problems = []
         if sorted(s_cols) != sorted(o_cols):
             problems.append(f"schema {sorted(s_cols)} vs {sorted(o_cols)}")
+        else:
+            # Dtype parity: the driver's canonicalization may distinguish
+            # int 5 from float 5.0 (DuckDB HUGEINT -> pandas float64), so a
+            # type-class mismatch is a latent hash failure even when our own
+            # %.6g formatting collapses the difference.
+            tmis = type_mismatches(s_cols, s_rows, o_cols, o_rows)
+            if tmis:
+                problems.append(f"dtype {tmis}")
         if len(s_rows) != len(o_rows):
             problems.append(f"rows {len(s_rows)} vs {len(o_rows)}")
         if not problems:
