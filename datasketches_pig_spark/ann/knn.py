@@ -70,14 +70,27 @@ def make_hyperplanes(dim: int, n_bits: int = 16, seed: int = 9001) -> np.ndarray
 def rhp_signature_df(
     df: DataFrame, id_col: str, vec_col: str, planes: np.ndarray
 ) -> DataFrame:
-    """Random-hyperplane signature as an int64 column — computed with JVM
-    array algebra (one aggregate per bit over a broadcast plane literal)."""
-    sig = F.lit(0).cast("long")
-    for b in range(planes.shape[0]):
-        plane = F.array(*[F.lit(float(x)) for x in planes[b]])
-        bit = (_dot(F.col(vec_col), plane) >= 0).cast("long")
-        sig = sig + F.shiftleft(bit, b)
-    return df.select(F.col(id_col).alias("id"), sig.alias("rhp_sig"))
+    """Random-hyperplane signature as an int64 column — one vectorized Arrow
+    pass (sign bits of x @ planes.T, packed).  A literal-expression build
+    would be O(n_bits × dim) Catalyst nodes — a codegen hazard at dim ≥ 256
+    — so the planes ride the closure instead and the kernel is a single
+    matrix multiply per batch."""
+    import pandas as pd
+
+    pt = planes.T.astype(np.float64)
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            bits = (x @ pt) >= 0
+            sig = (bits.astype(np.int64) * weights).sum(axis=1)
+            yield pd.DataFrame({"id": pdf["id"].values, "rhp_sig": sig})
+
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return src.mapInPandas(run, schema="id long, rhp_sig long")
 
 
 def rhp_lsh_topk(
@@ -90,10 +103,15 @@ def rhp_lsh_topk(
     n_bits: int = 16,
     max_hamming: int = 4,
     seed: int = 9001,
+    dim: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed ANN: candidates within signature Hamming ≤ max_hamming
-    (pigeonhole over 4 chunks), exact cosine re-rank."""
-    dim = len(corpus.select(vec_col).first()[0])
+    (pigeonhole over 4 chunks), exact cosine re-rank.
+
+    Pass ``dim`` explicitly to avoid a schema-probe job; when omitted it is
+    read from one row (acceptable interactively, not in a pipeline)."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     planes = make_hyperplanes(dim, n_bits, seed)
     nchunks = 4
     bits_per = n_bits // nchunks
@@ -172,12 +190,20 @@ def train_centroids(
 ) -> np.ndarray:
     """Deterministic Lloyd k-means on a bounded sample — the IVF coarse
     quantizer.  At 100 TB you train on a sampled fraction (the standard IVF
-    recipe); the sample cap bounds driver memory regardless of corpus size."""
+    recipe); the sample cap bounds driver memory regardless of corpus size.
+
+    The sample is chosen by ordering on a hash of the vector bytes
+    (TakeOrderedAndProject — per-partition top-k then one k-row merge), so
+    the same corpus always yields the same sample regardless of partition
+    layout; a bare ``limit()`` would depend on scan order."""
     pdf = (
         corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("v")))
         .limit(sample)
         .toPandas()
     )
+    if len(pdf) == 0:
+        raise ValueError("train_centroids: corpus is empty")
     x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
     x = x / (np.linalg.norm(x, axis=1, keepdims=True) + 1e-30)
     rng = np.random.default_rng(seed)
@@ -257,6 +283,85 @@ def ivf_topk(
         _norm(F.col(vec_col)).alias("qnorm"),
     ).join(q_assign, "query_id")
 
+    scored = c.join(F.broadcast(q), "centroid_id").select(
+        "query_id",
+        "vec_id",
+        (
+            _dot(F.col("cvec"), F.col("qvec"))
+            / (F.col("cnorm") * F.col("qnorm") + F.lit(1e-30))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.groupBy("query_id", "vec_id").agg(F.max("cosine").alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def ivf_build(
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 9001,
+) -> np.ndarray:
+    """Materialize the IVF index: corpus rows written **partitioned by
+    centroid_id** (hive-style directories), centroids saved alongside.  A
+    probe then reads only its n_probe partitions — partition pruning at the
+    file-listing level, no scan of the other lists.  Returns the centroids."""
+    cents = train_centroids(corpus, vec_col, n_centroids, seed=seed)
+    assign = _assign_centroids(
+        corpus.select(id_col, vec_col), "vec_id", vec_col, cents, n_probe=1
+    )
+    (
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+        .join(assign, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{index_dir}/lists")
+    )
+    np.save(f"{index_dir}/centroids.npy", cents)
+    return cents
+
+
+def ivf_probe(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe a materialized IVF index.  The centroid_id IN (...) filter is a
+    partition-pruning predicate on the hive-partitioned lists directory —
+    the physical plan's PartitionFilters prunes unprobed lists from the scan
+    (at 1000 executors: only n_probe/n_centroids of the index is read)."""
+    cents = np.load(f"{index_dir}/centroids.npy")
+    q_assign = _assign_centroids(
+        queries.select(query_id_col, vec_col), "query_id", vec_col, cents,
+        n_probe=n_probe,
+    )
+    probed = [
+        int(r["centroid_id"]) for r in q_assign.select("centroid_id").distinct().collect()
+    ]
+    lists = spark.read.parquet(f"{index_dir}/lists").filter(
+        F.col("centroid_id").isin(probed)
+    )
+    c = lists.select(
+        "vec_id",
+        F.col("embedding").alias("cvec"),
+        _norm(F.col("embedding")).alias("cnorm"),
+        "centroid_id",
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qnorm"),
+    ).join(q_assign, "query_id")
     scored = c.join(F.broadcast(q), "centroid_id").select(
         "query_id",
         "vec_id",

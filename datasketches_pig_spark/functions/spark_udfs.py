@@ -52,8 +52,11 @@ def murmur3_h1(col, seed: int = 9001) -> Column:
     @pandas_udf("long")
     def _udf(s: pd.Series) -> pd.Series:
         h1, _, valid = _hash_series(s, seed)
-        out = pd.Series(h1.view(np.int64))
-        out[~valid] = None
+        # nullable Int64, NOT None-into-int64 masking: pandas silently casts
+        # an int64 column to float64 on None assignment, truncating hashes
+        # below 2^53 precision for the whole batch
+        out = pd.Series(pd.array(h1.view(np.int64), dtype="Int64"))
+        out[~valid] = pd.NA
         return out
 
     return _udf(col)
@@ -67,8 +70,8 @@ def murmur3_h1_ordered(col, seed: int = 9001) -> Column:
     @pandas_udf("long")
     def _udf(s: pd.Series) -> pd.Series:
         h1, _, valid = _hash_series(s, seed)
-        out = pd.Series((h1 ^ SIGN_FLIP).view(np.int64))
-        out[~valid] = None
+        out = pd.Series(pd.array((h1 ^ SIGN_FLIP).view(np.int64), dtype="Int64"))
+        out[~valid] = pd.NA
         return out
 
     return _udf(col)
@@ -89,16 +92,19 @@ def murmur3_128(col, seed: int = 9001, divisor: int | None = None) -> Column:
                 [((int(b) << 64) | int(a)) % divisor for a, b in zip(h1, h2)],
                 dtype=np.int64,
             )
+        # nullable extension dtypes: .loc[...] = None on plain int64 columns
+        # casts them to float64 even when the mask is all-False, truncating
+        # every hash to 53-bit float precision (caught by the VALUES oracle)
         out = pd.DataFrame(
             {
-                "h0": pd.Series(h1.view(np.int64)),
-                "h1": pd.Series(h2.view(np.int64)),
-                "mod": pd.Series(mod, dtype="int64").astype("int32"),
+                "h0": pd.array(h1.view(np.int64), dtype="Int64"),
+                "h1": pd.array(h2.view(np.int64), dtype="Int64"),
+                "mod": pd.array(mod, dtype="Int32"),
             }
         )
-        out.loc[~valid, ["h0", "h1", "mod"]] = None
+        out.loc[~valid, ["h0", "h1", "mod"]] = pd.NA
         if not divisor:
-            out["mod"] = None
+            out["mod"] = pd.NA
         return out
 
     return _udf(col)

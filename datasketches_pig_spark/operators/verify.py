@@ -247,10 +247,30 @@ def verify_pairs(
         & (F.col("text_jaccard") >= 0.05)
         & (F.col("text_jaccard") < text_thr)
     )
-    tsrc = transcripts if transcripts is not None else signatures
+    if transcripts is not None and "transcript" not in transcripts.columns:
+        raise ValueError(
+            "verify_pairs: transcripts frame must have a 'transcript' column; "
+            f"got {transcripts.columns}"
+        )
+    if transcripts is None and "transcript" not in signatures.columns:
+        # signatures no longer carry transcripts (SIGNATURE_SCHEMA dropped the
+        # column); without a transcript source the substring-containment
+        # branch is skipped and borderline pairs are decided on jaccard alone
+        tsrc = None
+    else:
+        tsrc = transcripts if transcripts is not None else signatures
+    if tsrc is None:
+        border_scored = scored.filter(is_border).withColumn(
+            "substr_ok", F.lit(False)
+        )
+        plain_scored = scored.filter(~is_border).withColumn("substr_ok", F.lit(False))
+        return _decide(passthrough, plain_scored, border_scored, near, weak, text_thr)
     ta = tsrc.select(F.col("clip_id").alias("a"), F.col("transcript").alias("a_transcript"))
     tb = tsrc.select(F.col("clip_id").alias("b"), F.col("transcript").alias("b_transcript"))
-    border = scored.filter(is_border).join(ta, "a").join(tb, "b")
+    # left joins: a candidate whose clip_id is missing from the transcript
+    # source must still flow through the is_dup decision (with the
+    # containment check unavailable → substr_ok False), not vanish
+    border = scored.filter(is_border).join(ta, "a", "left").join(tb, "b", "left")
 
     def substr_check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -259,6 +279,8 @@ def verify_pairs(
             ok = np.fromiter(
                 (
                     substring_containment(x, y)
+                    if x is not None and y is not None
+                    else False
                     for x, y in zip(pdf["a_transcript"], pdf["b_transcript"])
                 ),
                 dtype=bool,
@@ -272,7 +294,19 @@ def verify_pairs(
         substr_check, schema=_JACCARD_SCHEMA + ", substr_ok boolean"
     )
     plain_scored = scored.filter(~is_border).withColumn("substr_ok", F.lit(False))
+    return _decide(passthrough, plain_scored, border_scored, near, weak, text_thr)
 
+
+def _decide(
+    passthrough: DataFrame,
+    plain_scored: DataFrame,
+    border_scored: DataFrame,
+    near: float,
+    weak: float,
+    text_thr: float,
+) -> DataFrame:
+    """Composite accept rule over the scored pairs (substr_ok is always False
+    on the plain branch and when no transcript source is available)."""
     decided = plain_scored.unionByName(border_scored).withColumn(
         "is_dup",
         ((F.col("text_jaccard") >= near) & (F.col("audio_jaccard") >= weak))
@@ -282,5 +316,4 @@ def verify_pairs(
         )
         | ((F.col("text_jaccard") >= text_thr) & (F.col("audio_jaccard") >= 0.6)),
     )
-
     return passthrough.unionByName(decided.select(*passthrough.columns))

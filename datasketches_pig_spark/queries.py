@@ -224,13 +224,32 @@ FROM orders GROUP BY o_orderpriority
 
 
 def q_cpc_distinct(spark, sf_dir):
+    from datasketches_pig_spark.sketch.distinct import cpc_distinct
+
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(F.countDistinct("l_suppkey").cast("double").alias("estimate"))
+    return cpc_distinct(li, "l_suppkey", exact=True)
 
 
 SQL_CPC_DISTINCT = (
     "SELECT CAST(COUNT(DISTINCT l_suppkey) AS DOUBLE) AS estimate FROM lineitem"
 )
+
+
+def q_cpc_bounds(spark, sf_dir):
+    """CPC estimate + kappa error bounds (cpc/GetEstimateAndErrorBounds.java:45);
+    exact-mode collapse (lb == ub == est) makes it oracle-checkable."""
+    from datasketches_pig_spark.sketch.distinct import cpc_estimate_with_bounds
+
+    li = _t(spark, sf_dir, "lineitem")
+    return cpc_estimate_with_bounds(li, "l_suppkey", kappa=3, exact=True)
+
+
+SQL_CPC_BOUNDS = """
+SELECT CAST(COUNT(DISTINCT l_suppkey) AS DOUBLE) AS est,
+       CAST(COUNT(DISTINCT l_suppkey) AS DOUBLE) AS lb,
+       CAST(COUNT(DISTINCT l_suppkey) AS DOUBLE) AS ub
+FROM lineitem
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -558,6 +577,68 @@ SELECT CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS est,
 """
 
 
+def q_aod_bounds(spark, sf_dir):
+    """AoD estimate + theta-style error bounds
+    (tuple/ArrayOfDoublesSketchToEstimateAndErrorBounds.java:42); exact-mode
+    collapse (lb == ub == est below k retained keys)."""
+    from datasketches_pig_spark.sketch.tuple_sketch import aod_estimate_with_bounds
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = aod_estimate_with_bounds(li, "l_partkey", ["l_quantity"], exact=True)
+    return out.select(
+        "est", "lb", "ub", F.round("sum_l_quantity", 2).alias("sum_qty")
+    )
+
+
+SQL_AOD_BOUNDS = """
+SELECT CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS est,
+       CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS lb,
+       CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS ub,
+       ROUND(SUM(l_quantity), 2) AS sum_qty FROM lineitem
+"""
+
+
+def q_aod_retained(spark, sf_dir):
+    """Retained-entries introspection
+    (tuple/ArrayOfDoublesSketchToNumberOfRetainedEntries.java:39)."""
+    from datasketches_pig_spark.sketch.tuple_sketch import aod_num_retained
+
+    li = _t(spark, sf_dir, "lineitem")
+    return aod_num_retained(li, "l_partkey")
+
+
+SQL_AOD_RETAINED = (
+    "SELECT CAST(COUNT(DISTINCT l_partkey) AS INT) AS n_retained FROM lineitem"
+)
+
+
+def q_freq_nfp(spark, sf_dir):
+    """Frequent-items estimates with the NO_FALSE_POSITIVES error type
+    (FrequentStringsSketchToEstimates.java:44-59, the no-arg default :50-52);
+    exact mode (unsaturated maps) collapses both error types to the true
+    frequent set, i.e. HAVING count(*) > threshold."""
+    from datasketches_pig_spark.sketch.frequencies import (
+        NO_FALSE_POSITIVES,
+        frequent_items_estimates,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return frequent_items_estimates(
+        li.withColumn("item", F.col("l_suppkey").cast("string")),
+        "item",
+        threshold=620,
+        error_type=NO_FALSE_POSITIVES,
+        max_map_size=4096,
+    )
+
+
+SQL_FREQ_NFP = """
+SELECT CAST(l_suppkey AS VARCHAR) AS item, COUNT(*) AS est,
+       COUNT(*) AS lb, COUNT(*) AS ub
+FROM lineitem GROUP BY l_suppkey HAVING COUNT(*) > 620
+"""
+
+
 def q_aod_means(spark, sf_dir):
     from datasketches_pig_spark.sketch.tuple_sketch import aod_means
 
@@ -757,6 +838,40 @@ def q_dedup_simhash(spark, sf_dir):
     return dd.simhash_near_pairs(docs, "doc_id", "text", n=3, max_hamming=6)
 
 
+# Oracle provenance: expected pairs computed by an independent scalar
+# replication (tools/gen_simhash_oracle.py): spec murmur3 + pure-Python
+# bit-majority simhash + brute-force all-pairs Hamming — cross-checking both
+# the vectorized fingerprint kernel and the Manku banding completeness.
+# Regenerate: python tools/gen_simhash_oracle.py
+SQL_DEDUP_SIMHASH = """
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, CAST(hamming AS INT) AS hamming FROM (VALUES
+  (8, 245, 3),
+  (31, 383, 3),
+  (45, 267, 3),
+  (45, 413, 2),
+  (58, 293, 3),
+  (61, 185, 5),
+  (70, 447, 1),
+  (72, 377, 2),
+  (87, 134, 4),
+  (92, 450, 2),
+  (98, 290, 3),
+  (107, 387, 1),
+  (120, 332, 4),
+  (152, 178, 1),
+  (166, 323, 1),
+  (267, 413, 3),
+  (285, 301, 2),
+  (295, 374, 1),
+  (310, 389, 6),
+  (326, 457, 4),
+  (393, 420, 0),
+  (435, 486, 5),
+  (458, 462, 4)
+) t(a, b, hamming)
+"""
+
+
 def q_lang_id(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", lang_id("text").alias("pred_lang"))
@@ -849,6 +964,515 @@ def q_fingerprint(spark, sf_dir):
     return doc_fingerprints(docs, "doc_id", "text")
 
 
+# Oracle provenance: expected fingerprints from an independent pure-Python
+# scalar replication (tools/gen_fingerprint_oracle.py) of the murmur +
+# Karp-Rabin-min kernel.  Regenerate: python tools/gen_fingerprint_oracle.py
+SQL_DOC_FINGERPRINT = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(fingerprint AS BIGINT) AS fingerprint FROM (VALUES
+  (0, 230127405450704452),
+  (1, 152616222885506837),
+  (2, 410978768034911182),
+  (3, 256873268295702718),
+  (4, 19147728193624515),
+  (5, 358983202777341945),
+  (6, 1251282070412683112),
+  (7, 23727730515570186),
+  (8, 86544867109340677),
+  (9, 66784575653926982),
+  (10, 58749869998213705),
+  (11, 181321512380429156),
+  (12, 133094337523742261),
+  (13, 11982556083968919),
+  (14, 101078767508932101),
+  (15, 26868137233756221),
+  (16, 3827164704362375287),
+  (17, 607788109736856629),
+  (18, 224154578660158385),
+  (19, 1586189953160908477),
+  (20, 492148784838654642),
+  (21, 56670567638715693),
+  (22, 61233321426916729),
+  (23, 69559212050829020),
+  (24, 491229715761230242),
+  (25, 116651766734443852),
+  (26, 2786201847482965944),
+  (27, 110264804718039741),
+  (28, 450091046035162641),
+  (29, 1147998271751477584),
+  (30, 1036998245068279147),
+  (31, 403975020245887778),
+  (32, 458751247134914862),
+  (33, 156546384755905134),
+  (34, 3228849935550803594),
+  (35, 379179830076848006),
+  (36, 632829198644188897),
+  (37, 484324248824749460),
+  (38, 1249685394757373272),
+  (39, 203667147316841944),
+  (40, 115470292109803030),
+  (41, 825209654214165999),
+  (42, 520171196620638777),
+  (43, 372390870759314687),
+  (44, 874320547754552523),
+  (45, 10575392172117421),
+  (46, 167336193523935866),
+  (47, 233699732676610777),
+  (48, 148816841369240072),
+  (49, 1299546376461629572),
+  (50, 282085268252321917),
+  (51, 161577539530644383),
+  (52, 630004862477639301),
+  (53, 2011782824727387277),
+  (54, 356189830196879653),
+  (55, 248068512554644477),
+  (56, 522421462784932697),
+  (57, 605936124951860901),
+  (58, 101132325097263206),
+  (59, 591359683962861925),
+  (60, 125228998606087288),
+  (61, 323588912216529919),
+  (62, 71961263355271190),
+  (63, 78706154512472135),
+  (64, 612925366017781126),
+  (65, 2886860485736493875),
+  (66, 236950491401699522),
+  (67, 787477886752446026),
+  (68, 287883035500828188),
+  (69, 118861444265084456),
+  (70, 205213823606602834),
+  (71, 288201645869113883),
+  (72, 565720964420714533),
+  (73, 284191909479555402),
+  (74, 1676634732169577300),
+  (75, 342196390876150949),
+  (76, 256872013842596013),
+  (77, 108152036211765170),
+  (78, 1862085429781559449),
+  (79, 1163230574264197450),
+  (80, 615474036865738637),
+  (81, 517662034862866463),
+  (82, 480969930044251194),
+  (83, 154719472694112959),
+  (84, 225546952468291543),
+  (85, 992766077613943687),
+  (86, 4590513414066961835),
+  (87, 758035583258069609),
+  (88, 809797553067836347),
+  (89, 2599222452019255530),
+  (90, 2643552927704713799),
+  (91, 40700332933306902),
+  (92, 825510953026311818),
+  (93, 720107906073467464),
+  (94, 585717078378698093),
+  (95, 345560986762026993),
+  (96, 994568207633015288),
+  (97, 122288914082453853),
+  (98, 50203596235312821),
+  (99, 1068202011459109856),
+  (100, 28547082092194753),
+  (101, 447967926647123214),
+  (102, 206255274161252379),
+  (103, 207372551521686299),
+  (104, 735315547778121720),
+  (105, 75961277968738770),
+  (106, 185587832618061458),
+  (107, 3798960787886366),
+  (108, 1950742125771452795),
+  (109, 586670592736475063),
+  (110, 4484040496133884955),
+  (111, 479369227961632238),
+  (112, 50690164631441957),
+  (113, 3252176093749974),
+  (114, 81272542331092211),
+  (115, 866415456044461315),
+  (116, 741536317282405800),
+  (117, 815664729532830842),
+  (118, 27899230976642371),
+  (119, 1028917422721025107),
+  (120, 989164318878320127),
+  (121, 185784628229125606),
+  (122, 2163490154640939022),
+  (123, 677141991025175156),
+  (124, 212363764158114309),
+  (125, 993314526748571360),
+  (126, 92589730403797592),
+  (127, 155465830673770483),
+  (128, 44361705094849863),
+  (129, 161780226038243791),
+  (130, 1132844061609521258),
+  (131, 108880391038232720),
+  (132, 262234763417424982),
+  (133, 313676804108353270),
+  (134, 337471736765284047),
+  (135, 49545727345359571),
+  (136, 762981976009437960),
+  (137, 78418660805053211),
+  (138, 32970221042518090),
+  (139, 454178890068904336),
+  (140, 251706288566167593),
+  (141, 52472636806675663),
+  (142, 62913647980287805),
+  (143, 32510942989949619),
+  (144, 2020057727564889222),
+  (145, 89033522303956911),
+  (146, 3454416752326283709),
+  (147, 28361829890341031),
+  (148, 2313694562598853275),
+  (149, 151810172613134243),
+  (150, 756076253118203327),
+  (151, 122988592284933830),
+  (152, 700368159474724978),
+  (153, 118949334213850008),
+  (154, 167781601168011069),
+  (155, 29393044627233486),
+  (156, 2300813219962724913),
+  (157, 139203654419045272),
+  (158, 5193446735624528),
+  (159, 329788290780045606),
+  (160, 570130145762210128),
+  (161, 515113036620561268),
+  (162, 307592155569013557),
+  (163, 9040853126023278),
+  (164, 325400660376051156),
+  (165, 27901417576329671),
+  (166, 267326806044807190),
+  (167, 20624028611410532),
+  (168, 455676740654703916),
+  (169, 145597073224295831),
+  (170, 1466694690829037633),
+  (171, 560395863747038109),
+  (172, 3507427170745215044),
+  (173, 135493629433171764),
+  (174, 860030833371179312),
+  (175, 2998048927052879769),
+  (176, 105578823429097916),
+  (177, 257581951320592745),
+  (178, 700368159474724978),
+  (179, 394495360079920885),
+  (180, 1262565717219855338),
+  (181, 6367791122390319131),
+  (182, 314689412839387051),
+  (183, 1487766373837380921),
+  (184, 364550847858246701),
+  (185, 323588912216529919),
+  (186, 118090262829406411),
+  (187, 268161962256455950),
+  (188, 642042343394419167),
+  (189, 150792650946048340),
+  (190, 55163926275398348),
+  (191, 184524768453014),
+  (192, 150703270724077963),
+  (193, 757466435630105496),
+  (194, 1115172922013639652),
+  (195, 319879150765302345),
+  (196, 136839502796808100),
+  (197, 566787593186238656),
+  (198, 221469174398174263),
+  (199, 21075375797995925),
+  (200, 9656787741494754),
+  (201, 111666920970065015),
+  (202, 33580720835576086),
+  (203, 840780348322285150),
+  (204, 826031814924994270),
+  (205, 401514772029899694),
+  (206, 1333755982156313275),
+  (207, 130689948781367003),
+  (208, 356173783378802822),
+  (209, 1067237836133647488),
+  (210, 13302662195549199),
+  (211, 723647007373847197),
+  (212, 181598736867551897),
+  (213, 385383414447091133),
+  (214, 396393739609840773),
+  (215, 14007331306991402),
+  (216, 42543173647179510),
+  (217, 155424000124160156),
+  (218, 337003331647371926),
+  (219, 712955235249394607),
+  (220, 236011449393688923),
+  (221, 412772430708765277),
+  (222, 207680822214201739),
+  (223, 204000031162165377),
+  (224, 201064940801598942),
+  (225, 522240939242264262),
+  (226, 1122758049592191875),
+  (227, 78890552251916936),
+  (228, 121112031887726476),
+  (229, 141354340466888256),
+  (230, 320850329234351693),
+  (231, 2462209086864065165),
+  (232, 335142860753179515),
+  (233, 249835689330252881),
+  (234, 1110968968524380065),
+  (235, 734009012352159608),
+  (236, 436916631943063629),
+  (237, 156050336938885933),
+  (238, 177187945552641048),
+  (239, 247376597513661052),
+  (240, 141771294038748370),
+  (241, 258634165456035815),
+  (242, 486037162371242450),
+  (243, 1966945464513917547),
+  (244, 14204447172764547),
+  (245, 86544867109340677),
+  (246, 592511020952715038),
+  (247, 895563034946047356),
+  (248, 159608564568348888),
+  (249, 91153164484660144),
+  (250, 999566830723635722),
+  (251, 60684559052223961),
+  (252, 111153156876117135),
+  (253, 140523346750237663),
+  (254, 2423760212817704679),
+  (255, 2458798068564241594),
+  (256, 3845878039597232713),
+  (257, 2365097036974176194),
+  (258, 124430329114362720),
+  (259, 309020729810281513),
+  (260, 5472091069398375),
+  (261, 218414530095396504),
+  (262, 256033774757719808),
+  (263, 275757411400415696),
+  (264, 577886321714123033),
+  (265, 398086295425414594),
+  (266, 1370095782727941735),
+  (267, 10575392172117421),
+  (268, 609819644729640878),
+  (269, 9055084195800941),
+  (270, 103296539255689367),
+  (271, 16791178282261931),
+  (272, 99572200276928384),
+  (273, 952867503427584909),
+  (274, 367946609563333113),
+  (275, 4724626673776160339),
+  (276, 126403500301929702),
+  (277, 632710844012613780),
+  (278, 359821958511569436),
+  (279, 310319821575602808),
+  (280, 169088459465435662),
+  (281, 684072119289393288),
+  (282, 378522033618849413),
+  (283, 228508622324642472),
+  (284, 416317035837035088),
+  (285, 261299684218578627),
+  (286, 94044088230165771),
+  (287, 1530568193104713684),
+  (288, 329366509281778795),
+  (289, 13402368708092856),
+  (290, 50203596235312821),
+  (291, 306322534434068415),
+  (292, 639157429125702644),
+  (293, 101132325097263206),
+  (294, 330571738424196340),
+  (295, 2004720071958169779),
+  (296, 93859266051809190),
+  (297, 735029039972193321),
+  (298, 2871462518490708413),
+  (299, 32435712078866619),
+  (300, 405483267046817915),
+  (301, 261299684218578627),
+  (302, 258498443090425681),
+  (303, 1032835598486533),
+  (304, 1494598179529958789),
+  (305, 1067269706403579540),
+  (306, 257906407799269220),
+  (307, 82595867742895070),
+  (308, 1386040718565797133),
+  (309, 1280266005380524278),
+  (310, 103775169110700593),
+  (311, 77565995598845303),
+  (312, 328166603245071224),
+  (313, 2304021617444594331),
+  (314, 93483222158851689),
+  (315, 273121207244103305),
+  (316, 118577572135876671),
+  (317, 7459489933873584),
+  (318, 439169647851107587),
+  (319, 106804721409069360),
+  (320, 588733731629901023),
+  (321, 339203868887291878),
+  (322, 408195397325300340),
+  (323, 267326806044807190),
+  (324, 604328209398785525),
+  (325, 692562033515510703),
+  (326, 24791437648694380),
+  (327, 900152050959201608),
+  (328, 390310278422839229),
+  (329, 159255611296377336),
+  (330, 340213366974007568),
+  (331, 259003179850759133),
+  (332, 989164318878320127),
+  (333, 111259239259980064),
+  (334, 226709728474568290),
+  (335, 378344648924389986),
+  (336, 57653893964410383),
+  (337, 648315152224197320),
+  (338, 1607706656887826451),
+  (339, 878218699314721483),
+  (340, 291333924978316040),
+  (341, 88545437583532746),
+  (342, 2814537938971702768),
+  (343, 53148956289150573),
+  (344, 118238915269748836),
+  (345, 294657451523094986),
+  (346, 61097284395154106),
+  (347, 120498753848640660),
+  (348, 21462415346961236),
+  (349, 211176866144809445),
+  (350, 43906645251578032),
+  (351, 430295268609934164),
+  (352, 22867294683063472),
+  (353, 931562864203603120),
+  (354, 74559006263806045),
+  (355, 1836351101231548959),
+  (356, 527432894493929683),
+  (357, 721247603083539919),
+  (358, 8367810029113593057),
+  (359, 128208541097078734),
+  (360, 36225007560006678),
+  (361, 280254945622610562),
+  (362, 1107648087529467162),
+  (363, 177975943012479765),
+  (364, 414340620150550946),
+  (365, 5170860737635893231),
+  (366, 75463839799981217),
+  (367, 487779830003359419),
+  (368, 2867987869798319532),
+  (369, 53845339035293777),
+  (370, 1013610993116381667),
+  (371, 89074046037131108),
+  (372, 320888938943844087),
+  (373, 128296673281692198),
+  (374, 2004720071958169779),
+  (375, 18322788207100444),
+  (376, 470838860115390105),
+  (377, 565720964420714533),
+  (378, 261449872167184535),
+  (379, 218171392537628990),
+  (380, 65996443761714895),
+  (381, 250085484809869371),
+  (382, 524808486932356558),
+  (383, 403975020245887778),
+  (384, 1270317960623865937),
+  (385, 71823248634797662),
+  (386, 758755004869692328),
+  (387, 3798960787886366),
+  (388, 395013311951909651),
+  (389, 103775169110700593),
+  (390, 722243796830676774),
+  (391, 72797150997543516),
+  (392, 466386621613718288),
+  (393, 49832665415972477),
+  (394, 191074093326550035),
+  (395, 259970593573091905),
+  (396, 604347134708335270),
+  (397, 187408454399506839),
+  (398, 1160630755866204357),
+  (399, 87089754887128765),
+  (400, 1264558946151411152),
+  (401, 155417581875494036),
+  (402, 1530078814856991731),
+  (403, 121136793024097891),
+  (404, 30720295317697670),
+  (405, 632298497886080567),
+  (406, 409861046842259515),
+  (407, 282499127755142122),
+  (408, 2421729606861590102),
+  (409, 831063287875108247),
+  (410, 293702699384931986),
+  (411, 179648781529981769),
+  (412, 258425069551399084),
+  (413, 10575392172117421),
+  (414, 132810238426418825),
+  (415, 469958480071465011),
+  (416, 351019209515395142),
+  (417, 476928694952252710),
+  (418, 154547122779683904),
+  (419, 2159925991049176577),
+  (420, 49832665415972477),
+  (421, 28841897136326257),
+  (422, 248161266983585241),
+  (423, 1183421618978053075),
+  (424, 48177434953626542),
+  (425, 1395378071120763075),
+  (426, 310408336531622689),
+  (427, 31639758240634508),
+  (428, 1242291040285777123),
+  (429, 169998080721452931),
+  (430, 52979832452325983),
+  (431, 504014976756170099),
+  (432, 80376807439230762),
+  (433, 691512312451901810),
+  (434, 125656035123120100),
+  (435, 727063537665793061),
+  (436, 7204175218099286),
+  (437, 112578890078638677),
+  (438, 23223560309387124),
+  (439, 1276414020989175455),
+  (440, 42261044627054364),
+  (441, 242606757280823947),
+  (442, 283344463554172074),
+  (443, 189624263279791876),
+  (444, 201715374036792212),
+  (445, 356641058258225050),
+  (446, 874320547754552523),
+  (447, 205213823606602834),
+  (448, 302158827249971999),
+  (449, 300347015622048829),
+  (450, 825510953026311818),
+  (451, 185936025501604753),
+  (452, 54546677487849120),
+  (453, 47535673175625844),
+  (454, 579147181330340653),
+  (455, 2786201847482965944),
+  (456, 511432665551484211),
+  (457, 24791437648694380),
+  (458, 529862363909117478),
+  (459, 141362901879611082),
+  (460, 498294629003532949),
+  (461, 110579119159857508),
+  (462, 529862363909117478),
+  (463, 92319164341761486),
+  (464, 225440428047816490),
+  (465, 147827612848564747),
+  (466, 123569211158964064),
+  (467, 435567141256084057),
+  (468, 1097579015923249909),
+  (469, 4451366024135794514),
+  (470, 323970609120103712),
+  (471, 76511959668470197),
+  (472, 469792934717891197),
+  (473, 340296571613041118),
+  (474, 392959660463029439),
+  (475, 295525890537851472),
+  (476, 728124855489268859),
+  (477, 265151706619907111),
+  (478, 644585751336398547),
+  (479, 299015813547611401),
+  (480, 330982695804939169),
+  (481, 600648973375890211),
+  (482, 1173322977358138171),
+  (483, 397604580707221568),
+  (484, 95070637892355351),
+  (485, 1545771736623757455),
+  (486, 727063537665793061),
+  (487, 439503799285976196),
+  (488, 1030250623067243470),
+  (489, 21129445555368136),
+  (490, 1566146461119530440),
+  (491, 674948354065582247),
+  (492, 3025680639772674480),
+  (493, 71018160061709719),
+  (494, 178383017664254166),
+  (495, 21937509157597615),
+  (496, 449053392265479420),
+  (497, 307371842141650795),
+  (498, 828510298657363860),
+  (499, 1508065231192986740)
+) t(doc_id, fingerprint)
+"""
+
+
 def q_ann_cosine(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -888,8 +1512,47 @@ def q_ann_lsh(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = emb.filter(F.col("vec_id") >= 3)
-    out = rhp_lsh_topk(corpus, queries, k=5, n_bits=16, max_hamming=6)
+    out = rhp_lsh_topk(corpus, queries, k=5, n_bits=16, max_hamming=6, dim=64)
     return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+# Oracle provenance: the candidate pair list below is produced by an
+# independent Spark-free numpy replication of the RHP-LSH pipeline
+# (tools/gen_ann_lsh_oracle.py) over the same sf0.01 embeddings; DuckDB then
+# recomputes cosine + rank for those pairs itself.  Regenerate with:
+#   python tools/gen_ann_lsh_oracle.py > /tmp/ann_lsh_oracle.sql
+SQL_ANN_LSH = """
+WITH cand(query_id, vec_id) AS (VALUES
+  (0, 320),
+  (0, 323),
+  (0, 498),
+  (0, 165),
+  (0, 131),
+  (1, 27),
+  (1, 195),
+  (1, 472),
+  (1, 220),
+  (1, 268),
+  (2, 320),
+  (2, 418),
+  (2, 112),
+  (2, 350),
+  (2, 172)
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 3
+), scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         list_dot_product(c.e, q.e)
+           / (SQRT(list_dot_product(c.e, c.e)) * SQRT(list_dot_product(q.e, q.e)) + 1e-30)
+           AS cosine
+  FROM cand JOIN c ON cand.vec_id = c.vec_id JOIN q ON cand.query_id = q.query_id
+)
+SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine,
+       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+FROM scored
+"""
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -902,7 +1565,13 @@ def q_ann_ivf(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = emb.filter(F.col("vec_id") >= 3)
-    out = ivf_topk(corpus, queries, k=5, n_centroids=8, n_probe=4)
+    # n_probe == n_centroids is the structurally-exact collapse (every
+    # inverted list probed ⇒ complete coverage), the ANN analog of running a
+    # sketch below k: the full code path (k-means, list assignment, probe,
+    # re-rank) executes, and the result provably equals brute force — so the
+    # brute-force SQL is a valid oracle.  The pruned path (n_probe <
+    # n_centroids) is recall-tested in tests/test_textops.py.
+    out = ivf_topk(corpus, queries, k=5, n_centroids=8, n_probe=8)
     return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
@@ -913,6 +1582,67 @@ def q_murmur3(spark, sf_dir):
     return part.select(
         "p_partkey", murmur3_128(F.col("p_name"), seed=9001, divisor=7).alias("h")
     ).select("p_partkey", "h.h0", "h.h1", "h.mod")
+
+
+# Oracle provenance: expected rows computed by the scalar pure-Python spec
+# implementation (functions/murmur3.py, pytest-verified against the public
+# MurmurHash3 reference vectors) — a different code path from the vectorized
+# numpy kernel the UDF runs.  Regenerate: python tools/gen_murmur3_oracle.py
+SQL_MURMUR3 = """
+SELECT * FROM (VALUES
+  (0, -2135694510796659233, -8909410107141689625, 4),
+  (1, 5652312406094835316, -7165059251390297582, 1),
+  (2, -883370753182888495, -5345207899077347148, 4),
+  (3, 8071035840995872150, -643565619170381093, 3),
+  (4, 2766033290405459966, 7273878203874416107, 5),
+  (5, 1779574554894547982, 4419073537401243362, 0),
+  (6, 4184507540876087398, 6613176087059693713, 5),
+  (7, -7778410706533088755, 9063863625691917270, 3),
+  (8, 127058411603923876, 8985526305027615844, 0),
+  (9, 6890137931708621938, 279261214831630426, 4),
+  (10, 6249389081288202330, 8044508817006608912, 5),
+  (11, 5329737770452742349, 8952897491762796662, 1),
+  (12, -7778410706533088755, 9063863625691917270, 3),
+  (13, -8674591989606966749, 4702710057531118956, 0),
+  (14, 2650174140238841288, 2037726336907167674, 5),
+  (15, -4225722715438581915, 2557988204415678285, 2),
+  (16, 7830775319368804327, -4271444729869702254, 0),
+  (17, -1743200627567094944, 861312618345685068, 5),
+  (18, 5073993431447684809, -4942370317347854796, 1),
+  (19, -6783809215458004492, 3565039538955669232, 1),
+  (20, 7830775319368804327, -4271444729869702254, 0),
+  (21, -3712051436679452353, -2489115427969308312, 4),
+  (22, 943021450927818869, 7026010252224840278, 4),
+  (23, 5412195991593332905, 8789535217710388746, 4),
+  (24, -3712051436679452353, -2489115427969308312, 4),
+  (25, -7327965742691718048, -425800178633063100, 0),
+  (26, -8500484249429875402, 6093985353657983403, 0),
+  (27, 3695145214287263670, 7421638662013414769, 3),
+  (28, 5652312406094835316, -7165059251390297582, 1),
+  (29, -2417743853346515552, -7561585354744731082, 2),
+  (30, -4225722715438581915, 2557988204415678285, 2),
+  (31, 59731931958993520, -9032899306327133489, 6),
+  (32, 6830375538012584244, -1642393744212683495, 2),
+  (33, -4225722715438581915, 2557988204415678285, 2),
+  (34, -8674591989606966749, 4702710057531118956, 0),
+  (35, -883370753182888495, -5345207899077347148, 4),
+  (36, 1425314499887368151, -8639054716914783473, 1),
+  (37, -8137010452975213204, -9104415843907021822, 6),
+  (38, 7830775319368804327, -4271444729869702254, 0),
+  (39, 1425314499887368151, -8639054716914783473, 1),
+  (40, -2135694510796659233, -8909410107141689625, 4),
+  (41, 5587914256595383589, 548270757897718039, 6),
+  (42, 59731931958993520, -9032899306327133489, 6),
+  (43, -6021458987861834536, 4767987980197655328, 3),
+  (44, 1903013698452751179, -3767741759789500376, 1),
+  (45, 9204517251253989771, -4306596380779778209, 2),
+  (46, 9059965511705618147, -8548447956215515081, 0),
+  (47, 5412195991593332905, 8789535217710388746, 4),
+  (48, 127058411603923876, 8985526305027615844, 0),
+  (49, 376659406386245181, 5882125162063652133, 0),
+  (50, -6783809215458004492, 3565039538955669232, 1)
+) t(p_partkey, h0, h1, mod)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -928,6 +1658,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "theta_jaccard": (q_theta_jaccard, SQL_THETA_JACCARD),
         "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
         "cpc_distinct": (q_cpc_distinct, SQL_CPC_DISTINCT),
+        "cpc_bounds": (q_cpc_bounds, SQL_CPC_BOUNDS),
         "kll_quantiles": (q_kll_quantiles, SQL_KLL_QUANTILES),
         "kll_pmf": (q_kll_pmf, SQL_KLL_PMF),
         "kll_cdf": (q_kll_cdf, SQL_KLL_CDF),
@@ -949,6 +1680,9 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "aod_ttest": (q_aod_ttest, None),
         "aod_sums": (q_aod_sums, SQL_AOD_SUMS),
         "aod_estimates": (q_aod_estimates, SQL_AOD_ESTIMATES),
+        "aod_bounds": (q_aod_bounds, SQL_AOD_BOUNDS),
+        "aod_retained": (q_aod_retained, SQL_AOD_RETAINED),
+        "freq_nfp": (q_freq_nfp, SQL_FREQ_NFP),
         "aod_means": (q_aod_means, SQL_AOD_MEANS),
         "aod_variances": (q_aod_variances, SQL_AOD_VARIANCES),
         "double_summary_percentile": (
@@ -963,13 +1697,13 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_ngram": (q_dedup_ngram, _NGRAM_ORACLE),
         "dedup_minhash": (q_dedup_minhash, _NGRAM_ORACLE),
-        "dedup_simhash": (q_dedup_simhash, None),
+        "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
         "lang_id": (q_lang_id, _sql_lang_id()),
         "quality_score": (q_quality, _sql_quality()),
         "token_count": (q_token_count, SQL_TOKEN_COUNT),
-        "doc_fingerprint": (q_fingerprint, None),
+        "doc_fingerprint": (q_fingerprint, SQL_DOC_FINGERPRINT),
         "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
-        "ann_lsh": (q_ann_lsh, None),
-        "ann_ivf": (q_ann_ivf, None),
-        "murmur3": (q_murmur3, None),
+        "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
+        "ann_ivf": (q_ann_ivf, SQL_ANN_COSINE),
+        "murmur3": (q_murmur3, SQL_MURMUR3),
     }

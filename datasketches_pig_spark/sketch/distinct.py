@@ -59,6 +59,58 @@ def hll_estimate_with_bounds(
 
 # CPC: same Spark mapping, different accuracy constant (cpc is ~1.4× more
 # accurate per bit than HLL; map lgK to an equivalent rsd).
-def cpc_estimate(col, lg_k: int = 11) -> Column:
-    rsd = 0.69 / math.sqrt(2.0**lg_k)
-    return F.approx_count_distinct(col, max(rsd, 0.01))
+DEFAULT_CPC_LGK = 11  # cpc/DataToSketch.java default lgK
+
+
+def cpc_rsd(lg_k: int) -> float:
+    """CPC relative standard error ≈ 0.588/sqrt(2^lgK) (Lang 2017, the
+    published compressed-probabilistic-counting accuracy constant)."""
+    return 0.588 / math.sqrt(2.0**lg_k)
+
+
+def cpc_estimate(col, lg_k: int = DEFAULT_CPC_LGK) -> Column:
+    return F.approx_count_distinct(col, max(cpc_rsd(lg_k), 0.01))
+
+
+def cpc_distinct(df: DataFrame, value_col: str, group_cols: list[str] | None = None,
+                 lg_k: int = DEFAULT_CPC_LGK, exact: bool = False) -> DataFrame:
+    """Grouped distinct count via the CPC accuracy mapping
+    (``cpc/GetEstimate.java:40`` analog); exact=True is the oracle path."""
+    agg = (
+        F.countDistinct(value_col) if exact else cpc_estimate(F.col(value_col), lg_k)
+    ).cast("double").alias("estimate")
+    if group_cols:
+        return df.groupBy(*group_cols).agg(agg)
+    return df.agg(agg)
+
+
+def cpc_estimate_with_bounds(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    lg_k: int = DEFAULT_CPC_LGK,
+    kappa: int = 2,
+    exact: bool = False,
+) -> DataFrame:
+    """(est, lb, ub) at kappa ∈ {1,2,3} standard deviations — the
+    ``cpc/GetEstimateAndErrorBounds.java:45,79-84`` analog (kappa is the
+    number of σ from the mean; default 2, ``:47``).
+
+    exact=True is the unsaturated-sketch collapse (countDistinct, lb == ub ==
+    est) — the oracle-checkable mode, same contract as ``theta_bounds``.
+    """
+    if kappa not in (1, 2, 3):
+        raise ValueError(f"kappa must be 1, 2 or 3, got {kappa}")
+    rsd = cpc_rsd(lg_k)
+    est = (
+        F.countDistinct(value_col) if exact else F.approx_count_distinct(value_col, max(rsd, 0.01))
+    ).cast("double")
+    spread = 0.0 if exact else kappa * rsd
+    aggs = [
+        est.alias("est"),
+        (est * (1.0 - spread)).alias("lb"),
+        (est * (1.0 + spread)).alias("ub"),
+    ]
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*aggs)
+    return df.agg(*aggs)

@@ -70,12 +70,46 @@ def _space_saving(items: pd.Series, max_map_size: int) -> dict[str, list]:
     }
 
 
-def frequent_items_approx(
-    df: DataFrame, item_col: str, top_n: int, max_map_size: int = 1024
+NO_FALSE_POSITIVES = "NO_FALSE_POSITIVES"
+NO_FALSE_NEGATIVES = "NO_FALSE_NEGATIVES"
+
+
+def frequent_items_estimates(
+    df: DataFrame,
+    item_col: str,
+    threshold: int,
+    error_type: str = NO_FALSE_POSITIVES,
+    max_map_size: int = 1024,
 ) -> DataFrame:
-    """Bounded-memory heavy hitters: per-partition space-saving partials →
-    merge (sum est / sum err per item) → top_n.  NO_FALSE_NEGATIVES set:
-    ub = est, lb = est - err (``FrequentStringsSketchToEstimates.java:44-59``)."""
+    """Threshold form of the reference's estimates extractor with the
+    errorType switch (``FrequentStringsSketchToEstimates.java:44-59,70-74``;
+    default NO_FALSE_POSITIVES as in the no-arg constructor ``:50-52``).
+
+    NO_FALSE_POSITIVES keeps items whose *lower* bound clears the threshold
+    (every returned item is truly frequent); NO_FALSE_NEGATIVES keeps items
+    whose *upper* bound clears it (no frequent item is missed).  In exact
+    mode (per-partition maps never saturate) err == 0, lb == est == ub, and
+    both error types return the identical exact set — which is what makes
+    this oracle-checkable as ``HAVING count(*) > threshold``.
+    """
+    if error_type not in (NO_FALSE_POSITIVES, NO_FALSE_NEGATIVES):
+        raise ValueError(f"unknown error type: {error_type!r}")
+    merged = _space_saving_partials(df, item_col, max_map_size)
+    with_bounds = merged.select(
+        "item",
+        "est",
+        (F.col("est") - F.col("err")).alias("lb"),
+        F.col("est").alias("ub"),
+    )
+    gate = F.col("lb" if error_type == NO_FALSE_POSITIVES else "ub")
+    return with_bounds.filter(gate > threshold)
+
+
+def _space_saving_partials(
+    df: DataFrame, item_col: str, max_map_size: int
+) -> DataFrame:
+    """Per-partition space-saving partials merged per item (sum est/err) —
+    the Algebraic initial/final split, state ≤ max_map_size per partition."""
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
@@ -104,9 +138,19 @@ def frequent_items_approx(
         )
 
     partials = df.select(item_col).mapInPandas(partial, "item string, est long, err long")
-    merged = partials.groupBy("item").agg(
+    return partials.groupBy("item").agg(
         F.sum("est").alias("est"), F.sum("err").alias("err")
     )
+
+
+def frequent_items_approx(
+    df: DataFrame, item_col: str, top_n: int, max_map_size: int = 1024
+) -> DataFrame:
+    """Bounded-memory heavy hitters: per-partition space-saving partials →
+    merge (sum est / sum err per item) → top_n.  NO_FALSE_NEGATIVES-flavored
+    bounds: ub = est, lb = est - err
+    (``FrequentStringsSketchToEstimates.java:44-59``)."""
+    merged = _space_saving_partials(df, item_col, max_map_size)
     return (
         merged.orderBy(F.desc("est"), F.asc("item"))
         .limit(top_n)

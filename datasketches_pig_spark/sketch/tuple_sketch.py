@@ -34,6 +34,47 @@ def aod_estimates(df: DataFrame, key_col: str, value_cols: list[str]) -> DataFra
     )
 
 
+def aod_estimate_with_bounds(
+    df: DataFrame,
+    key_col: str,
+    value_cols: list[str],
+    k: int = 4096,
+    exact: bool = True,
+) -> DataFrame:
+    """(est, lb, ub, population sums) — the
+    ``tuple/ArrayOfDoublesSketchToEstimateAndErrorBounds.java:42-58`` analog
+    (theta-style ±2σ bounds on the distinct-key estimate; the value sums are
+    exact either way because Spark's partial aggregation never samples).
+
+    exact=True (default, and the oracle mode): countDistinct with
+    lb == ub == est — the reference's unsaturated-sketch behavior, where
+    getLowerBound == getEstimate below k retained keys.
+    """
+    if exact:
+        est = F.countDistinct(key_col).cast("double")
+        lb, ub = est, est
+    else:
+        import math
+
+        rse2 = 2.0 / math.sqrt(float(k))
+        est = F.approx_count_distinct(key_col).cast("double")
+        lb, ub = est * (1.0 - rse2), est * (1.0 + rse2)
+    return df.agg(
+        est.alias("est"),
+        lb.alias("lb"),
+        ub.alias("ub"),
+        *[F.sum(v).cast("double").alias(f"sum_{v}") for v in value_cols],
+    )
+
+
+def aod_num_retained(df: DataFrame, key_col: str) -> DataFrame:
+    """Retained-entries introspection —
+    ``tuple/ArrayOfDoublesSketchToNumberOfRetainedEntries.java:39``.  The
+    relational sketch retains every distinct key (no sampling below theta),
+    so this is the distinct-key count as an int."""
+    return df.agg(F.countDistinct(key_col).cast("int").alias("n_retained"))
+
+
 def aod_means(df: DataFrame, key_col: str, value_cols: list[str]) -> DataFrame:
     """Per-column mean over the per-key summed values
     (``ArrayOfDoublesSketchToMeans.java:38``)."""

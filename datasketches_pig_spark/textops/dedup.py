@@ -69,11 +69,16 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """All pairs (a < b) with word-n-gram Jaccard ≥ threshold — the
     brute-force-exact dedup (quadratic in co-shingled docs; the oracle for
-    the MinHash path)."""
+    the MinHash path).
+
+    ``max_doc_freq`` (default 1000) drops shingles appearing in more docs
+    than that before the self-join — without it one stopword-gram ("of the
+    and") makes the join quadratic in corpus size.  Pass None only for
+    small-corpus oracle runs where exactness must include stop-grams."""
     grams = word_ngrams(df, id_col, text_col, n)
     if max_doc_freq:
         hot = grams.groupBy("shingle").count().filter(F.col("count") > max_doc_freq)
@@ -162,7 +167,14 @@ def minhash_lsh_candidates(
     rows_per_band: int = 4,
     seed: int = 9001,
 ) -> DataFrame:
-    """(a, b) candidate pairs from band-bucket equality."""
+    """(a, b) candidate pairs from band-bucket equality.
+
+    Recall contract (same shape as ``simhash_near_pairs``): complete while no
+    band bucket exceeds the expansion cap.  Band keys are 64-bit hashes of
+    r=4 minhash rows, so an over-cap bucket means > cap docs agree on a full
+    band — a mass-duplicate cluster, where the salted expansion star-links
+    and the downstream Jaccard verify may drop borderline (non-center) pairs;
+    pair recall above the cap is approximate."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -227,6 +239,44 @@ def minhash_dedup_pairs(
     )
 
 
+# Manku-style block keys (WWW'07 near-duplicate detection).  For a Hamming
+# budget h, split the 64 bits into h+3 blocks; any pair within Hamming <= h
+# leaves >= 3 blocks untouched, so it shares at least one choose(h+3, 3)
+# concatenated 3-block key exactly.  h=3 → 6 blocks / 20 combos / ~32-bit
+# keys (the classic setting); larger h trades explode factor C(h+3,3) and
+# coarser keys for the wider guarantee.
+
+
+def _simhash_blocks(max_hamming: int) -> tuple[tuple[int, ...], tuple[int, ...]]:
+    n_blocks = max_hamming + 3
+    base, extra = divmod(64, n_blocks)
+    bits = tuple(base + (1 if i < extra else 0) for i in range(n_blocks))
+    offs = tuple(sum(bits[:i]) for i in range(n_blocks))
+    return bits, offs
+
+
+def _simhash_combo_keys(sim_col, max_hamming: int = 3):
+    """choose(h+3, 3) combo-key expressions over a 64-bit simhash column;
+    each key packs three block values plus the combo index (key ranges are
+    disjoint across combos)."""
+    from itertools import combinations
+
+    bits, offs = _simhash_blocks(max_hamming)
+    key_bits = 3 * max(bits)
+    keys = []
+    for idx, combo in enumerate(combinations(range(len(bits)), 3)):
+        key = F.lit(0).cast("long")
+        shift = 0
+        for b in combo:
+            blk = F.shiftright(sim_col, offs[b]).bitwiseAND(
+                F.lit((1 << bits[b]) - 1)
+            )
+            key = key + F.shiftleft(blk, shift)
+            shift += bits[b]
+        keys.append(key + F.shiftleft(F.lit(idx).cast("long"), key_bits + 1))
+    return keys
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str,
@@ -234,33 +284,30 @@ def simhash_near_pairs(
     n: int = 3,
     max_hamming: int = 3,
     seed: int = 9001,
+    bucket_cap: int = 256,
 ) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit fingerprints, banded by four 16-bit
-    chunks (a pair within Hamming ≤ 3 must agree on ≥ 1 chunk — pigeonhole),
-    exact Hamming verify on candidates.
+    """SimHash near-dup pairs: 64-bit fingerprints, Manku 3-of-(h+3)-block
+    keys (pigeonhole: Hamming ≤ h ⇒ some 3 blocks untouched ⇒ shared key),
+    exact Hamming verify (codegen'd ``bit_count(xor)``, never Python).
 
-    Chunk buckets live in a 2^16 key space, so at corpus scale every bucket
-    is hot — candidates come from the salted star/all-pairs expansion
-    (connectivity-preserving in oversized buckets), and the Hamming verify is
-    a codegen'd ``bit_count(xor)``, never Python."""
+    Recall contract: complete while no (combo, key) bucket exceeds
+    ``bucket_cap``.  At h=3 keys are ~32 bits, so buckets are fine-grained —
+    an over-cap bucket means > cap docs agree on 33 fingerprint bits, i.e. a
+    mass-duplicate cluster; there the salted expansion degrades to star-links
+    and pair recall above the cap is approximate (a missed pair must land
+    over-cap in *every* one of its ≥ 1 shared combos).  Larger h widens the
+    guarantee but multiplies band rows by C(h+3,3) and coarsens keys; h ≤ 3
+    is the recommended 100 TB setting."""
     from datasketches_pig_spark.operators.lsh import bucket_pairs
 
     sigs = minhash_stage(df, id_col, text_col, n, num_perm=8, seed=seed).localCheckpoint()
     chunks = sigs.select(
         "id",
         F.explode(
-            F.array(
-                *[
-                    (
-                        F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
-                        + F.lit(i << 17)
-                    )
-                    for i in range(4)
-                ]
-            )
+            F.array(*_simhash_combo_keys(F.col("simhash"), max_hamming))
         ).alias("ckey"),
     )
-    cand = bucket_pairs(chunks, "ckey", "id", cap=64).distinct()
+    cand = bucket_pairs(chunks, "ckey", "id", cap=bucket_cap).distinct()
     sa = sigs.select(F.col("id").alias("a"), F.col("simhash").alias("sim_a"))
     sb = sigs.select(F.col("id").alias("b"), F.col("simhash").alias("sim_b"))
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))

@@ -88,3 +88,37 @@ def test_distribution_sanity():
     expected = 65536 / 16
     chi2 = ((counts - expected) ** 2 / expected).sum()
     assert chi2 < 60, f"suspicious bucket skew: {counts}"
+
+
+def test_udf_null_in_batch_keeps_neighbor_precision(spark):
+    # Regression: None-into-int64 masking used to cast the whole Arrow batch
+    # to float64, truncating every hash below 2^53 precision whenever any row
+    # in the batch was null.  Nulls must yield null AND leave neighbors exact.
+    import pyspark.sql.functions as F
+
+    from datasketches_pig_spark.functions.murmur3 import murmur3_x64_128
+    from datasketches_pig_spark.functions.spark_udfs import murmur3_128, murmur3_h1
+
+    df = spark.createDataFrame(
+        [("small ring",), (None,), ("red widget",)], ["s"]
+    )
+    rows = {
+        r["s"]: (r["h"], r["full"])
+        for r in df.select(
+            "s",
+            murmur3_h1(F.col("s"), seed=9001).alias("h"),
+            murmur3_128(F.col("s"), seed=9001, divisor=7).alias("full"),
+        ).collect()
+    }
+
+    def ts(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    for s in ("small ring", "red widget"):
+        h1, h2 = murmur3_x64_128(s.encode("utf-8"), 9001)
+        got_h, got_full = rows[s]
+        assert got_h == ts(h1), f"{s}: h1 mangled"
+        assert (got_full["h0"], got_full["h1"]) == (ts(h1), ts(h2))
+        assert got_full["mod"] == ((h2 << 64) | h1) % 7
+    assert rows[None][0] is None
+    assert rows[None][1]["h0"] is None
