@@ -152,6 +152,11 @@ def verify_pairs(
     across the Arrow boundary; transcripts are joined only for the tiny
     borderline set that needs the suffix-array containment check.
     """
+    if transcripts is not None and "transcript" not in transcripts.columns:
+        raise ValueError(
+            "verify_pairs: transcripts frame must have a 'transcript' column; "
+            f"got {transcripts.columns}"
+        )
     kmv_k = cfg.kmv_k
     text_thr = cfg.jaccard_threshold
     near = cfg.near_exact_threshold
@@ -247,11 +252,6 @@ def verify_pairs(
         & (F.col("text_jaccard") >= 0.05)
         & (F.col("text_jaccard") < text_thr)
     )
-    if transcripts is not None and "transcript" not in transcripts.columns:
-        raise ValueError(
-            "verify_pairs: transcripts frame must have a 'transcript' column; "
-            f"got {transcripts.columns}"
-        )
     if transcripts is None and "transcript" not in signatures.columns:
         # signatures no longer carry transcripts (SIGNATURE_SCHEMA dropped the
         # column); without a transcript source the substring-containment

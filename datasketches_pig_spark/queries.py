@@ -166,6 +166,27 @@ FROM i, u
 """
 
 
+def q_theta_to_string(spark, sf_dir):
+    """Debug-summary parity (theta/SketchToString.java:39): deterministic in
+    exact mode, so the formatted string itself is oracle-checkable."""
+    from datasketches_pig_spark.sketch.theta import theta_sketch_to_string
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = theta_sketch_agg(li, ["l_returnflag"], "l_partkey", THETA_K)
+    return sk.select(
+        "l_returnflag", theta_sketch_to_string("sketch", THETA_K).alias("summary")
+    )
+
+
+SQL_THETA_TO_STRING = """
+SELECT l_returnflag,
+       'KMV theta sketch: retained=' || CAST(COUNT(DISTINCT l_partkey) AS VARCHAR)
+       || ', k=4096, exact=true, theta=1.0, estimate='
+       || CAST(CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS VARCHAR) AS summary
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_rollup_agg(spark, sf_dir):
     """Grouping-sets coverage (SURVEY §2.10): rollup over (returnflag,
     linestatus) with grouping-level marker."""
@@ -411,6 +432,73 @@ def q_varopt_union(spark, sf_dir):
 SQL_VAROPT_UNION = (
     "SELECT s_suppkey, ROUND(CAST(s_acctbal AS DOUBLE), 2) AS vo_weight FROM supplier"
 )
+
+
+def q_reservoir_state_union(spark, sf_dir):
+    """Cross-job mergeable reservoir state (DataToSketch/ReservoirUnion
+    split, sampling/ReservoirSampling.java:82 + ReservoirUnion.java:48): two
+    'daily' jobs persist their per-group state to parquet; a later job reads
+    both files back and merges.  Exact mode (per-slice group counts < k)
+    makes the merge return every row — the SQL oracle."""
+    import tempfile
+
+    from datasketches_pig_spark.sketch.sampling import (
+        reservoir_state,
+        reservoir_union_states,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="dsps_rstate_")
+    for tag, pred in (("d1", F.col("o_orderkey") % 2 == 0), ("d2", F.col("o_orderkey") % 2 == 1)):
+        reservoir_state(orders.filter(pred), 4096, ["o_orderpriority"]).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/{tag}")
+    states = spark.read.parquet(f"{tmp}/d1").unionByName(spark.read.parquet(f"{tmp}/d2"))
+    merged = reservoir_union_states(states, 4096, ["o_orderpriority"])
+    return merged.select(
+        "o_orderpriority", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+SQL_RESERVOIR_STATE_UNION = """
+SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+FROM orders
+"""
+
+
+def q_varopt_state_union(spark, sf_dir):
+    """Cross-job mergeable VarOpt state (DataToVarOptSketch.java:45 +
+    VarOptUnion.java:46): persisted per-group state arrays round-trip
+    through parquet, then merge.  Exact mode returns every row with
+    vo_weight == original weight."""
+    import tempfile
+
+    from datasketches_pig_spark.sketch.sampling import (
+        varopt_state,
+        varopt_union_states,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="dsps_vstate_")
+    for tag, pred in (("d1", F.col("o_orderkey") % 2 == 0), ("d2", F.col("o_orderkey") % 2 == 1)):
+        varopt_state(
+            orders.filter(pred), 4096, "o_totalprice", ["o_orderpriority"]
+        ).write.mode("overwrite").parquet(f"{tmp}/{tag}")
+    states = spark.read.parquet(f"{tmp}/d1").unionByName(spark.read.parquet(f"{tmp}/d2"))
+    merged = varopt_union_states(states, 4096, ["o_orderpriority"])
+    return merged.select(
+        "o_orderpriority", "o_orderkey", F.round("vo_weight", 2).alias("vo_weight")
+    )
+
+
+SQL_VAROPT_STATE_UNION = """
+SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 2) AS vo_weight
+FROM orders
+"""
 
 
 def q_kll_even_quantiles(spark, sf_dir):
@@ -1670,10 +1758,13 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "reservoir_union": (q_reservoir_union, SQL_RESERVOIR_UNION),
         "varopt_shortcut": (q_varopt_shortcut, SQL_VAROPT_SHORTCUT),
         "varopt_union": (q_varopt_union, SQL_VAROPT_UNION),
+        "reservoir_state_union": (q_reservoir_state_union, SQL_RESERVOIR_STATE_UNION),
+        "varopt_state_union": (q_varopt_state_union, SQL_VAROPT_STATE_UNION),
         "kll_even_quantiles": (q_kll_even_quantiles, SQL_KLL_EVEN_QUANTILES),
         "strings_pmf": (q_strings_pmf, SQL_STRINGS_PMF),
         "theta_bounds": (q_theta_bounds, SQL_THETA_BOUNDS),
         "theta_jaccard_bounds": (q_theta_jaccard_bounds, SQL_THETA_JACCARD_BOUNDS),
+        "theta_to_string": (q_theta_to_string, SQL_THETA_TO_STRING),
         "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
         "hll_bounds": (q_hll_bounds, None),
         "freq_approx": (q_freq_approx, SQL_FREQ_APPROX),

@@ -20,6 +20,14 @@ from pyspark.sql import DataFrame
 DEFAULT_KLL_K = 200  # kll/DataToSketch.java:39 default
 
 
+def get_k(accuracy_k: int | None = None) -> int:
+    """KLL k readback (``kll/GetK.java:35``).  The relational engine carries
+    no sketch object at runtime — k is the ``percentile_approx`` accuracy
+    parameter the caller configured — so this is a config readback, kept for
+    reference API parity."""
+    return DEFAULT_KLL_K if accuracy_k is None else accuracy_k
+
+
 def get_quantiles(
     df: DataFrame,
     value_col: str,

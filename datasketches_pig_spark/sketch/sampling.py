@@ -77,6 +77,105 @@ def reservoir_union(
     return keyed.orderBy(F.desc("__key")).limit(k).select("__s.*")
 
 
+def reservoir_state(
+    df: DataFrame,
+    k: int,
+    group_cols: list[str] | None = None,
+    seed: int = 9001,
+) -> DataFrame:
+    """Persistable reservoir partial — the ``sampling.DataToSketch`` analog
+    (``ReservoirSampling.java:82``): one row per group with
+    ``(n: population count, samples: array<struct<record>>)``.  The struct
+    array is a plain parquet-writable column, so a daily job can persist its
+    state and a later job can merge states across days with
+    ``reservoir_union_states`` — the reference's Algebraic intermediate as a
+    native Spark type instead of sketch bytes."""
+    keys = group_cols or []
+    rec_cols = [c for c in df.columns if c not in keys]
+    sample = reservoir_sample(df, k, group_cols, seed)
+    rec = F.struct(*rec_cols)
+    if keys:
+        samples = sample.groupBy(*keys).agg(F.collect_list(rec).alias("samples"))
+        counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+        return counts.join(samples, keys)
+    samples = sample.agg(F.collect_list(rec).alias("samples"))
+    counts = df.agg(F.count(F.lit(1)).alias("n"))
+    return counts.crossJoin(samples)
+
+
+def reservoir_union_states(
+    states: DataFrame,
+    k: int,
+    group_cols: list[str] | None = None,
+    n_col: str = "n",
+    samples_col: str = "samples",
+    seed: int = 9001,
+) -> DataFrame:
+    """Merge persisted reservoir states per group (``ReservoirUnion.java:48``
+    over ``reservoir_state`` rows): weighted sampling without replacement
+    (A-ExpJ keys) over all retained samples.  Exact mode (every state's
+    n == |samples|) returns the union of the inputs — rows, not state."""
+    if k < 2:
+        raise ValueError("reservoir k must be >= 2")
+    keys = group_cols or []
+    exploded = states.select(
+        *keys,
+        F.col(n_col).alias("__n"),
+        F.size(samples_col).alias("__sz"),
+        F.explode(samples_col).alias("__s"),
+    )
+    keyed = exploded.withColumn(
+        "__key", F.pow(F.rand(seed), F.col("__sz").cast("double") / F.col("__n"))
+    )
+    if not keys:
+        return keyed.orderBy(F.desc("__key")).limit(k).select("__s.*")
+    w = Window.partitionBy(*keys).orderBy(F.desc("__key"))
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(*keys, "__s.*")
+    )
+
+
+def varopt_state(
+    df: DataFrame,
+    k: int = DEFAULT_TARGET_K,
+    weight_col: str = "weight",
+    group_cols: list[str] | None = None,
+    seed: int = 9001,
+) -> DataFrame:
+    """Persistable VarOpt partial — the ``sampling.DataToVarOptSketch``
+    analog (``DataToVarOptSketch.java:45``): one row per group with
+    ``state: array<struct<record, vo_weight>>`` (≤ k entries).  Parquet-
+    writable; merge later states with ``varopt_union_states``."""
+    keys = group_cols or []
+    sample = varopt_sample(df, k, weight_col, group_cols, seed)
+    rec_cols = [c for c in sample.columns if c not in keys]
+    rec = F.struct(*rec_cols)
+    if keys:
+        return sample.groupBy(*keys).agg(F.collect_list(rec).alias("state"))
+    return sample.agg(F.collect_list(rec).alias("state"))
+
+
+def varopt_union_states(
+    states: DataFrame,
+    k: int = DEFAULT_TARGET_K,
+    group_cols: list[str] | None = None,
+    state_col: str = "state",
+    seed: int = 9001,
+) -> DataFrame:
+    """Merge persisted VarOpt states per group (``VarOptUnion.java:46``):
+    explode back to weighted rows and VarOpt over the union keyed on the
+    adjusted weights (unbiasedness argument as in ``varopt_union``)."""
+    keys = group_cols or []
+    exploded = states.select(*keys, F.explode(state_col).alias("__r")).select(
+        *keys, "__r.*"
+    )
+    return varopt_sample(
+        exploded, k=k, weight_col="vo_weight", group_cols=group_cols, seed=seed
+    )
+
+
 def varopt_union(
     partials: DataFrame,
     k: int = DEFAULT_TARGET_K,

@@ -98,6 +98,31 @@ def theta_error_bounds(sketch: Column | str, k: int = DEFAULT_K) -> Column:
     return F.struct(est.alias("est"), ub.alias("ub"), lb.alias("lb"))
 
 
+def theta_sketch_to_string(sketch: Column | str, k: int = DEFAULT_K) -> Column:
+    """Human-readable sketch summary — the ``theta/SketchToString.java:39``
+    debug analog, as a pure column expression (retained entries, exact-mode
+    flag, theta fraction, estimate)."""
+    s = F.col(sketch) if isinstance(sketch, str) else sketch
+    n = F.size(s)
+    exact = n < k
+    kth = F.element_at(s, k).cast("double")
+    theta = F.when(exact, F.lit(1.0)).otherwise(
+        (kth + F.lit(_TWO63) + F.lit(1.0)) / F.lit(_TWO64)
+    )
+    return F.concat(
+        F.lit("KMV theta sketch: retained="),
+        n.cast("string"),
+        F.lit(", k="),
+        F.lit(k).cast("string"),
+        F.lit(", exact="),
+        exact.cast("string"),
+        F.lit(", theta="),
+        F.round(theta, 6).cast("string"),
+        F.lit(", estimate="),
+        F.round(theta_estimate(s, k), 1).cast("string"),
+    )
+
+
 def _bottom_k(arr: Column, k: int) -> Column:
     return F.slice(F.array_sort(arr), 1, k)
 
