@@ -606,9 +606,22 @@ def q_aod_ttest(spark, sf_dir):
     b = li.filter(F.col("l_returnflag") == "N")
     out = aod_p_values_df(a, b, "l_partkey", ["l_quantity", "l_extendedprice"])
     return out.select(
-        F.round("p_l_quantity", 6).alias("p_qty"),
-        F.round("p_l_extendedprice", 6).alias("p_price"),
+        # 3 decimals: cross-engine float-summation order shifts the Welch
+        # inputs by ~1e-6 relative, moving p by ~1e-5 — 6-decimal equality
+        # is not meaningful for a p-value computed from ~4k-key aggregates
+        F.round("p_l_quantity", 3).alias("p_qty"),
+        F.round("p_l_extendedprice", 3).alias("p_price"),
     )
+
+
+# Oracle provenance: expected p-values from an independent replication
+# (tools/gen_ttest_oracle.py) — aggregates computed by DuckDB SQL, Student-t
+# tail by Simpson quadrature of the density (vs the production continued-
+# fraction incomplete beta; methods agree to ~1e-10 at these df).
+# Regenerate: python tools/gen_ttest_oracle.py
+SQL_AOD_TTEST = """
+SELECT CAST(0.687 AS DOUBLE) AS p_qty, CAST(0.657 AS DOUBLE) AS p_price
+"""
 
 
 def q_varopt_shortcut(spark, sf_dir):
@@ -1768,7 +1781,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
         "hll_bounds": (q_hll_bounds, None),
         "freq_approx": (q_freq_approx, SQL_FREQ_APPROX),
-        "aod_ttest": (q_aod_ttest, None),
+        "aod_ttest": (q_aod_ttest, SQL_AOD_TTEST),
         "aod_sums": (q_aod_sums, SQL_AOD_SUMS),
         "aod_estimates": (q_aod_estimates, SQL_AOD_ESTIMATES),
         "aod_bounds": (q_aod_bounds, SQL_AOD_BOUNDS),
