@@ -501,6 +501,28 @@ FROM orders
 """
 
 
+def q_varopt_unpack(spark, sf_dir):
+    """GetVarOptSamples analog (sampling/GetVarOptSamples.java:46): persisted
+    state → flattened weighted rows; exact mode returns every original row
+    with vo_weight == weight."""
+    from datasketches_pig_spark.sketch.sampling import get_varopt_samples, varopt_state
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    st = varopt_state(orders, 4096, "o_totalprice", ["o_orderpriority"])
+    out = get_varopt_samples(st, ["o_orderpriority"])
+    return out.select(
+        "o_orderpriority", "o_orderkey", F.round("vo_weight", 2).alias("vo_weight")
+    )
+
+
+SQL_VAROPT_UNPACK = """
+SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 2) AS vo_weight
+FROM orders
+"""
+
+
 def q_kll_even_quantiles(spark, sf_dir):
     from datasketches_pig_spark.sketch.quantiles import get_even_quantiles
 
@@ -1773,6 +1795,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "varopt_union": (q_varopt_union, SQL_VAROPT_UNION),
         "reservoir_state_union": (q_reservoir_state_union, SQL_RESERVOIR_STATE_UNION),
         "varopt_state_union": (q_varopt_state_union, SQL_VAROPT_STATE_UNION),
+        "varopt_unpack": (q_varopt_unpack, SQL_VAROPT_UNPACK),
         "kll_even_quantiles": (q_kll_even_quantiles, SQL_KLL_EVEN_QUANTILES),
         "strings_pmf": (q_strings_pmf, SQL_STRINGS_PMF),
         "theta_bounds": (q_theta_bounds, SQL_THETA_BOUNDS),

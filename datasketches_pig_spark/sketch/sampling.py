@@ -167,12 +167,23 @@ def varopt_union_states(
     """Merge persisted VarOpt states per group (``VarOptUnion.java:46``):
     explode back to weighted rows and VarOpt over the union keyed on the
     adjusted weights (unbiasedness argument as in ``varopt_union``)."""
-    keys = group_cols or []
-    exploded = states.select(*keys, F.explode(state_col).alias("__r")).select(
-        *keys, "__r.*"
-    )
+    exploded = get_varopt_samples(states, group_cols, state_col)
     return varopt_sample(
         exploded, k=k, weight_col="vo_weight", group_cols=group_cols, seed=seed
+    )
+
+
+def get_varopt_samples(
+    states: DataFrame,
+    group_cols: list[str] | None = None,
+    state_col: str = "state",
+) -> DataFrame:
+    """Unpack a persisted VarOpt state back to weighted rows — the
+    ``sampling.GetVarOptSamples`` analog (``GetVarOptSamples.java:46``):
+    (vo_weight, record...) per retained entry, flattened relationally."""
+    keys = group_cols or []
+    return states.select(*keys, F.explode(state_col).alias("__r")).select(
+        *keys, "__r.*"
     )
 
 

@@ -122,3 +122,21 @@ def test_udf_null_in_batch_keeps_neighbor_precision(spark):
         assert got_full["mod"] == ((h2 << 64) | h1) % 7
     assert rows[None][0] is None
     assert rows[None][1]["h0"] is None
+
+
+def test_udf_float_zero_and_nan_canonicalization(spark):
+    # reference parity (theta/DataToSketchTest.java:195-199): -0.0 and +0.0
+    # must hash identically; NaN updates are ignored (→ null here, as the
+    # sketch layer drops null hashes), null stays null
+    import pyspark.sql.functions as F
+
+    from datasketches_pig_spark.functions.spark_udfs import murmur3_h1
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -0.0), (3, float("nan")), (4, None)],
+        "i long, v double",
+    )
+    rows = {r["i"]: r["h"] for r in df.select("i", murmur3_h1(F.col("v")).alias("h")).collect()}
+    assert rows[1] == rows[2] and rows[1] is not None, "-0.0 and +0.0 must collide"
+    assert rows[3] is None, "NaN is a no-op update"
+    assert rows[4] is None

@@ -157,3 +157,47 @@ def test_ann_ivf_recall_vs_brute(spark):
     # clustered corpus: the probed lists must contain nearly all true
     # neighbors (same-cluster vectors land in the same inverted list)
     assert recall >= 0.9, recall
+
+
+def test_ann_high_dim_256(spark, tmp_path):
+    """dim=256 end-to-end: Arrow RHP signature kernel (no literal-expression
+    blowup), LSH twin recovery, and the materialized IVF index (build +
+    partition-pruned probe) all at high dimension."""
+    from datasketches_pig_spark.ann.knn import (
+        cosine_topk,
+        ivf_build,
+        ivf_probe,
+        rhp_lsh_topk,
+    )
+
+    dim = 256
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(6, dim))
+    rows = []
+    vid = 0
+    for c in range(6):
+        for _ in range(20):
+            v = base[c] + rng.normal(scale=0.1, size=dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = df.filter(F.col("vec_id") >= 3)
+    brute = cosine_topk(corpus, queries, k=5)
+    bt = {(r.query_id, r.vec_id) for r in brute.collect()}
+
+    lsh = rhp_lsh_topk(corpus, queries, k=5, n_bits=16, max_hamming=6, dim=dim)
+    lt = {(r.query_id, r.vec_id) for r in lsh.collect()}
+    assert len(bt & lt) / len(bt) >= 0.8  # same-cluster neighbors dominate
+
+    idx = str(tmp_path / "ivf")
+    ivf_build(corpus, idx, n_centroids=6)
+    probed = ivf_probe(spark, idx, queries, k=5, n_probe=2)
+    pt = {(r.query_id, r.vec_id) for r in probed.collect()}
+    assert len(bt & pt) / len(bt) >= 0.9
+    # partition pruning: the physical plan must carry a PartitionFilters
+    # predicate on centroid_id (hive-partitioned lists directory)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "centroid_id" in plan
