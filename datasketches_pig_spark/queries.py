@@ -187,6 +187,64 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_hll_to_string(spark, sf_dir):
+    from datasketches_pig_spark.sketch.distinct import hll_to_string
+
+    return hll_to_string(_t(spark, sf_dir, "orders"), "o_custkey", exact=True)
+
+
+SQL_HLL_TO_STRING = """
+SELECT 'HLL sketch: lgK=12, rsd=0.01625, estimate='
+       || CAST(ROUND(CAST(COUNT(DISTINCT o_custkey) AS DOUBLE), 1) AS VARCHAR)
+       AS summary FROM orders
+"""
+
+
+def q_cpc_to_string(spark, sf_dir):
+    from datasketches_pig_spark.sketch.distinct import cpc_to_string
+
+    return cpc_to_string(_t(spark, sf_dir, "lineitem"), "l_suppkey", exact=True)
+
+
+SQL_CPC_TO_STRING = """
+SELECT 'CPC sketch: lgK=11, rse=0.012993, estimate='
+       || CAST(ROUND(CAST(COUNT(DISTINCT l_suppkey) AS DOUBLE), 1) AS VARCHAR)
+       AS summary FROM lineitem
+"""
+
+
+def q_kll_to_string(spark, sf_dir):
+    from datasketches_pig_spark.sketch.quantiles import kll_to_string
+
+    return kll_to_string(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+SQL_KLL_TO_STRING = """
+SELECT 'KLL sketch: k=200, n=' || CAST(COUNT(l_extendedprice) AS VARCHAR)
+       || ', min=' || CAST(ROUND(MIN(l_extendedprice), 4) AS VARCHAR)
+       || ', max=' || CAST(ROUND(MAX(l_extendedprice), 4) AS VARCHAR)
+       AS summary FROM lineitem
+"""
+
+
+def q_freq_to_string(spark, sf_dir):
+    from datasketches_pig_spark.sketch.frequencies import frequent_items_to_string
+
+    li = _t(spark, sf_dir, "lineitem")
+    return frequent_items_to_string(
+        li.withColumn("item", F.col("l_suppkey").cast("string")), "item", 4096
+    )
+
+
+SQL_FREQ_TO_STRING = """
+SELECT 'FrequentItems sketch: maxMapSize=4096, items='
+       || CAST(COUNT(DISTINCT l_suppkey) AS VARCHAR)
+       || ', streamLen=' || CAST(COUNT(*) AS VARCHAR)
+       || ', totalError=0' AS summary
+FROM lineitem
+"""
+
+
 def q_rollup_agg(spark, sf_dir):
     """Grouping-sets coverage (SURVEY §2.10): rollup over (returnflag,
     linestatus) with grouping-level marker."""
@@ -1801,6 +1859,10 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "theta_bounds": (q_theta_bounds, SQL_THETA_BOUNDS),
         "theta_jaccard_bounds": (q_theta_jaccard_bounds, SQL_THETA_JACCARD_BOUNDS),
         "theta_to_string": (q_theta_to_string, SQL_THETA_TO_STRING),
+        "hll_to_string": (q_hll_to_string, SQL_HLL_TO_STRING),
+        "cpc_to_string": (q_cpc_to_string, SQL_CPC_TO_STRING),
+        "kll_to_string": (q_kll_to_string, SQL_KLL_TO_STRING),
+        "freq_to_string": (q_freq_to_string, SQL_FREQ_TO_STRING),
         "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
         "hll_bounds": (q_hll_bounds, None),
         "freq_approx": (q_freq_approx, SQL_FREQ_APPROX),

@@ -72,6 +72,42 @@ def cpc_estimate(col, lg_k: int = DEFAULT_CPC_LGK) -> Column:
     return F.approx_count_distinct(col, max(cpc_rsd(lg_k), 0.01))
 
 
+def hll_to_string(
+    df: DataFrame, value_col: str, lg_k: int = DEFAULT_LGK, exact: bool = False
+) -> DataFrame:
+    """Debug summary — ``hll/SketchToString.java`` analog: formatted lgK /
+    estimate / rsd line.  Deterministic (hence oracle-checkable) in exact
+    mode."""
+    est = (
+        F.countDistinct(value_col) if exact else hll_estimate(value_col, lg_k)
+    ).cast("double")
+    return df.agg(
+        F.concat(
+            F.lit(f"HLL sketch: lgK={lg_k}, rsd="),
+            F.lit(round(lgk_to_rsd(lg_k), 6)).cast("string"),
+            F.lit(", estimate="),
+            F.round(est, 1).cast("string"),
+        ).alias("summary")
+    )
+
+
+def cpc_to_string(
+    df: DataFrame, value_col: str, lg_k: int = 11, exact: bool = False
+) -> DataFrame:
+    """Debug summary — ``cpc/SketchToString.java`` analog."""
+    est = (
+        F.countDistinct(value_col) if exact else cpc_estimate(F.col(value_col), lg_k)
+    ).cast("double")
+    return df.agg(
+        F.concat(
+            F.lit(f"CPC sketch: lgK={lg_k}, rse="),
+            F.lit(round(cpc_rsd(lg_k), 6)).cast("string"),
+            F.lit(", estimate="),
+            F.round(est, 1).cast("string"),
+        ).alias("summary")
+    )
+
+
 def cpc_distinct(df: DataFrame, value_col: str, group_cols: list[str] | None = None,
                  lg_k: int = DEFAULT_CPC_LGK, exact: bool = False) -> DataFrame:
     """Grouped distinct count via the CPC accuracy mapping

@@ -105,6 +105,25 @@ def frequent_items_estimates(
     return with_bounds.filter(gate > threshold)
 
 
+def frequent_items_to_string(
+    df: DataFrame, item_col: str, max_map_size: int = 1024
+) -> DataFrame:
+    """Debug summary — ``frequencies/.../SketchToString`` analog: map size /
+    stream length / distinct items / total merged error.  Error is 0 while
+    the per-partition maps never saturate (exact mode ⇒ oracle-checkable)."""
+    merged = _space_saving_partials(df, item_col, max_map_size)
+    return merged.agg(
+        F.concat(
+            F.lit(f"FrequentItems sketch: maxMapSize={max_map_size}, items="),
+            F.count(F.lit(1)).cast("string"),
+            F.lit(", streamLen="),
+            F.sum("est").cast("string"),
+            F.lit(", totalError="),
+            F.sum("err").cast("string"),
+        ).alias("summary")
+    )
+
+
 def _space_saving_partials(
     df: DataFrame, item_col: str, max_map_size: int
 ) -> DataFrame:

@@ -20,6 +20,22 @@ from pyspark.sql import DataFrame
 DEFAULT_KLL_K = 200  # kll/DataToSketch.java:39 default
 
 
+def kll_to_string(df: DataFrame, value_col: str, k: int = 200) -> DataFrame:
+    """Debug summary — ``kll/SketchToString.java`` analog: k / n / min / max
+    line.  The relational engine sees the exact stream, so the summary is
+    deterministic and oracle-checkable."""
+    return df.agg(
+        F.concat(
+            F.lit(f"KLL sketch: k={k}, n="),
+            F.count(value_col).cast("string"),
+            F.lit(", min="),
+            F.round(F.min(value_col), 4).cast("string"),
+            F.lit(", max="),
+            F.round(F.max(value_col), 4).cast("string"),
+        ).alias("summary")
+    )
+
+
 def get_k(accuracy_k: int | None = None) -> int:
     """KLL k readback (``kll/GetK.java:35``).  The relational engine carries
     no sketch object at runtime — k is the ``percentile_approx`` accuracy

@@ -147,3 +147,39 @@ def streaming_first_seen(keyed: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Sliding-window counts: each event lands in window/slide overlapping
+    windows (window must be a multiple of slide).  Same watermark/late-data
+    semantics as the tumbling form."""
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), key_col, "n")
+    )
+
+
+def streaming_dedup_exact(
+    events: DataFrame,
+    key_cols: list[str],
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Built-in streaming exact dedup: ``dropDuplicates`` over the key within
+    the watermark horizon — state per key is bounded by the watermark (keys
+    older than the horizon are evicted), the scale-safe complement to the
+    unbounded-history ``streaming_first_seen``."""
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return events.withWatermark(ts_col, watermark).dropDuplicates(
+        [*key_cols, ts_col]
+    )

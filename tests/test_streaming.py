@@ -183,3 +183,53 @@ def test_streaming_first_seen_dedup(spark, tmp_path):
     }
     assert {k for k, _ in got} == {"k1", "k2", "k3"}
     assert ("k2", "d") not in got  # second occurrence suppressed
+
+
+def test_streaming_sliding_counts_matches_batch(spark, events_stream):
+    from datasketches_pig_spark.streaming.ops import streaming_sliding_counts
+
+    stream, batch = events_stream
+    got = (
+        _run_stream_to_memory(
+            spark, streaming_sliding_counts(stream), "slide_counts", "append"
+        )
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    want = (
+        batch.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .toPandas()
+    )
+    # every emitted (window, key) must match batch exactly; the tail inside
+    # the final watermark horizon may be withheld in append mode
+    merged = got.merge(want, on=["window_start", "event_type"], suffixes=("_s", "_b"))
+    assert len(merged) == len(got) > 0
+    assert (merged["n_s"] == merged["n_b"]).all()
+
+
+def test_streaming_dedup_exact_matches_batch_distinct(spark, tmp_path):
+    from datasketches_pig_spark.streaming.ops import streaming_dedup_exact
+
+    # craft a small directory with duplicated rows
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:01", "2024-01-01 00:00:01", "2024-01-01 00:10:00",
+                 "2024-01-01 00:10:00", "2024-01-01 01:00:00"]
+            ),
+            "k": ["a", "a", "a", "b", "a"],
+        }
+    )
+    d = tmp_path / "dupsrc"
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(d))
+    batch = spark.read.parquet(str(d))
+    stream = spark.readStream.schema(batch.schema).parquet(str(d))
+    got = _run_stream_to_memory(
+        spark, streaming_dedup_exact(stream, ["k"]), "dedup_exact_stream", "append"
+    ).toPandas()
+    # 4 distinct (k, ts) pairs out of 5 rows
+    assert len(got) == 4
+    assert got.duplicated(subset=["k", "ts"]).sum() == 0
