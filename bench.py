@@ -31,7 +31,9 @@ HEADLINE_QUERIES = [
     "topk_window",
     "events_sessions",
     "dedup_minhash",
+    "dedup_simhash",
     "ann_cosine",
+    "ann_ivf",
     "quality_score",
 ]
 
