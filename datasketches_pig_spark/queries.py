@@ -280,13 +280,24 @@ def q_hll_bounds(spark, sf_dir):
     from datasketches_pig_spark.sketch.distinct import hll_estimate_with_bounds
 
     orders = _t(spark, sf_dir, "orders")
-    out = hll_estimate_with_bounds(orders, "o_custkey", ["o_orderpriority"])
+    # exact mode (distinct o_custkey per priority < coupon-list capacity at
+    # test sf): lb == est == ub, same collapse as the theta bounds oracle
+    out = hll_estimate_with_bounds(orders, "o_custkey", ["o_orderpriority"], exact=True)
     return out.select(
         "o_orderpriority",
         F.round("est", 1).alias("est"),
         F.round("lb", 1).alias("lb"),
         F.round("ub", 1).alias("ub"),
     )
+
+
+SQL_HLL_BOUNDS = """
+SELECT o_orderpriority,
+       ROUND(CAST(COUNT(DISTINCT o_custkey) AS DOUBLE), 1) AS est,
+       ROUND(CAST(COUNT(DISTINCT o_custkey) AS DOUBLE), 1) AS lb,
+       ROUND(CAST(COUNT(DISTINCT o_custkey) AS DOUBLE), 1) AS ub
+FROM orders GROUP BY o_orderpriority
+"""
 
 
 def q_hll_distinct(spark, sf_dir):
@@ -1864,7 +1875,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "kll_to_string": (q_kll_to_string, SQL_KLL_TO_STRING),
         "freq_to_string": (q_freq_to_string, SQL_FREQ_TO_STRING),
         "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
-        "hll_bounds": (q_hll_bounds, None),
+        "hll_bounds": (q_hll_bounds, SQL_HLL_BOUNDS),
         "freq_approx": (q_freq_approx, SQL_FREQ_APPROX),
         "aod_ttest": (q_aod_ttest, SQL_AOD_TTEST),
         "aod_sums": (q_aod_sums, SQL_AOD_SUMS),

@@ -41,17 +41,26 @@ def hll_distinct(df: DataFrame, value_col: str, group_cols: list[str] | None = N
 
 def hll_estimate_with_bounds(
     df: DataFrame, value_col: str, group_cols: list[str] | None = None,
-    lg_k: int = DEFAULT_LGK,
+    lg_k: int = DEFAULT_LGK, exact: bool = False,
 ) -> DataFrame:
     """(est, lb, ub) at ±2σ / 95.5% confidence
-    (``hll/SketchToEstimateAndErrorBounds.java:43``)."""
-    rsd = lgk_to_rsd(lg_k)
-    est = F.approx_count_distinct(value_col, rsd).cast("double")
-    aggs = [
-        est.alias("est"),
-        (est * (1 - 2 * rsd)).alias("lb"),
-        (est * (1 + 2 * rsd)).alias("ub"),
-    ]
+    (``hll/SketchToEstimateAndErrorBounds.java:43``).
+
+    ``exact=True`` is the oracle path: below sketch capacity the DataSketches
+    HLL sketch answers from its exact coupon list and
+    ``getLowerBound == getEstimate == getUpperBound`` — the same exact-mode
+    collapse the theta bounds oracle relies on."""
+    if exact:
+        est = F.countDistinct(value_col).cast("double")
+        aggs = [est.alias("est"), est.alias("lb"), est.alias("ub")]
+    else:
+        rsd = lgk_to_rsd(lg_k)
+        est = F.approx_count_distinct(value_col, rsd).cast("double")
+        aggs = [
+            est.alias("est"),
+            (est * (1 - 2 * rsd)).alias("lb"),
+            (est * (1 + 2 * rsd)).alias("ub"),
+        ]
     if group_cols:
         return df.groupBy(*group_cols).agg(*aggs)
     return df.agg(*aggs)

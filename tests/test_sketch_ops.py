@@ -165,6 +165,10 @@ def test_hll_bounds_cover_truth(spark):
     row = hll_estimate_with_bounds(df, "v").collect()[0]
     assert row["lb"] <= 50000 <= row["ub"]
 
+    # exact mode: bounds collapse onto the exact count (the oracle path)
+    ex = hll_estimate_with_bounds(df, "v", exact=True).collect()[0]
+    assert ex["lb"] == ex["est"] == ex["ub"] == 50000.0
+
 
 def test_reservoir_union_exact_and_sampled(spark):
     import pyspark.sql.functions as F
