@@ -180,6 +180,81 @@ def rhp_lsh_topk(
     )
 
 
+def embedding_near_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "rhp",
+    max_hamming: int = 3,
+    seed: int = 9001,
+    dim: int | None = None,
+    bucket_cap: int = 256,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a, b, cosine) with a < b —
+    the fifth dedup modality next to exact / n-gram / MinHash / SimHash.
+
+    ``method='rhp'`` (the 100 TB path): 64-bit random-hyperplane signatures
+    (one Arrow pass), then exactly the SimHash near-dup machinery — Manku
+    3-of-(h+3)-block band keys, salted bucket expansion with hot-bucket
+    star-links — and an exact-cosine verify on candidates only (JVM
+    ``aggregate``/``zip_with``, no Python).  P[sig bit differs] = angle/π, so
+    a near-dup pair (cosine ≥ ~0.995, angle ≤ ~6°) has expected signature
+    Hamming ≈ 64·angle/π ≤ 1.2 and lands within ``max_hamming`` w.h.p.;
+    recall is asserted on a planted corpus in tests.  Same recall contract as
+    ``simhash_near_pairs``: complete while no band bucket exceeds
+    ``bucket_cap``, approximate above it.
+
+    ``method='exact'``: the labeled O(n²) brute-force baseline (the oracle
+    path), analogous to ``cosine_topk`` for ANN — never the scale path.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    if method == "exact":
+        ca = c.select(
+            F.col("id").alias("a"), F.col("vec").alias("va"), F.col("nrm").alias("na")
+        )
+        cb = c.select(
+            F.col("id").alias("b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
+        )
+        pairs = ca.join(cb, F.col("a") < F.col("b"))
+    elif method == "rhp":
+        from datasketches_pig_spark.operators.lsh import bucket_pairs
+        from datasketches_pig_spark.textops.dedup import _simhash_combo_keys
+
+        if dim is None:
+            dim = len(corpus.select(vec_col).first()[0])
+        planes = make_hyperplanes(dim, n_bits=64, seed=seed)
+        sigs = rhp_signature_df(corpus, id_col, vec_col, planes).localCheckpoint()
+        keys = sigs.select(
+            "id",
+            F.explode(
+                F.array(*_simhash_combo_keys(F.col("rhp_sig"), max_hamming))
+            ).alias("ckey"),
+        )
+        cand = bucket_pairs(keys, "ckey", "id", cap=bucket_cap).distinct()
+        ca = c.select(
+            F.col("id").alias("a"), F.col("vec").alias("va"), F.col("nrm").alias("na")
+        )
+        cb = c.select(
+            F.col("id").alias("b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
+        )
+        pairs = cand.join(ca, "a").join(cb, "b")
+    else:
+        raise ValueError(f"embedding_near_pairs: unknown method {method!r}")
+    return (
+        pairs.withColumn(
+            "cosine",
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb") + F.lit(1e-30)),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
 def train_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",

@@ -1030,6 +1030,34 @@ def q_dedup_simhash(spark, sf_dir):
     return dd.simhash_near_pairs(docs, "doc_id", "text", n=3, max_hamming=6)
 
 
+def q_dedup_embedding(spark, sf_dir):
+    from datasketches_pig_spark.ann.knn import embedding_near_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    # exact method = the oracle-checkable brute-force baseline; the RHP-LSH
+    # scale path of the same operator is recall-asserted on a planted corpus
+    # in tests/test_textops.py (synthetic sf embeddings are near-orthogonal,
+    # so the high-cosine near-dup regime has no rows here)
+    out = embedding_near_pairs(emb, threshold=0.42, method="exact")
+    return out.select("a", "b", F.round("cosine", 6).alias("cosine"))
+
+
+SQL_DEDUP_EMBEDDING = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), scored AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         list_dot_product(x.v, y.v)
+           / (SQRT(list_dot_product(x.v, x.v)) * SQRT(list_dot_product(y.v, y.v)) + 1e-30)
+           AS cosine
+  FROM e x JOIN e y ON x.vec_id < y.vec_id
+)
+SELECT a, b, ROUND(cosine, 6) AS cosine FROM scored WHERE cosine >= 0.42
+"""
+
+
 # Oracle provenance: expected pairs computed by an independent scalar
 # replication (tools/gen_simhash_oracle.py): spec murmur3 + pure-Python
 # bit-majority simhash + brute-force all-pairs Hamming — cross-checking both
@@ -1897,6 +1925,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_ngram": (q_dedup_ngram, _NGRAM_ORACLE),
         "dedup_minhash": (q_dedup_minhash, _NGRAM_ORACLE),
+        "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
         "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
         "lang_id": (q_lang_id, _sql_lang_id()),
         "quality_score": (q_quality, _sql_quality()),

@@ -64,7 +64,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalescePartitions is OFF: AQE coalesces by shuffle BYTES, but the
+        # engine's hot shuffles carry CPU-dense rows (candidate pairs ~60 B/row
+        # feeding Arrow verify kernels), so byte-proportional coalescing folds
+        # a 16-partition stage into 2-4 tasks and idles the other cores —
+        # measured 19.4s -> 12.8s at 8 cores and 20.7s -> 15.3s at 32 cores on
+        # the 23k-clip pipeline (verify stage 9.3s -> 3.7s).  Partition counts
+        # are managed explicitly (shuffle_partitions ~ 2x cores, salted
+        # expansion); skew-join splitting stays on — it is independent of
+        # coalescing and is the AQE feature the pipeline actually wants.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -201,3 +201,45 @@ def test_ann_high_dim_256(spark, tmp_path):
     # predicate on centroid_id (hive-partitioned lists directory)
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "centroid_id" in plan
+
+
+def test_embedding_near_dup_rhp_recall(spark):
+    """Planted near-dup embeddings: RHP+Manku banded path finds the same
+    high-cosine pairs as the exact brute-force path (recall >= 0.99), and
+    every returned pair truly clears the threshold."""
+    from datasketches_pig_spark.ann.knn import embedding_near_pairs
+
+    rng = np.random.default_rng(11)
+    dim = 64
+    base = rng.normal(size=(60, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # 60 originals + a near-dup of each (tiny perturbation: cosine >= ~0.999)
+    dups = base + rng.normal(scale=0.01, size=(60, dim))
+    vecs = np.concatenate([base, dups])
+    pdf = pd.DataFrame(
+        {"vec_id": range(120), "embedding": [list(map(float, v)) for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+
+    exact = embedding_near_pairs(df, threshold=0.99, method="exact").toPandas()
+    rhp = embedding_near_pairs(
+        df, threshold=0.99, method="rhp", max_hamming=4, dim=dim
+    ).toPandas()
+
+    et = {(r.a, r.b) for r in exact.itertuples()}
+    rt = {(r.a, r.b) for r in rhp.itertuples()}
+    assert len(et) >= 55  # the planted twins are found by brute force
+    assert len(et & rt) / len(et) >= 0.99, f"recall {len(et & rt) / len(et)}"
+    assert rt <= et  # verify step: no pair below the cosine threshold
+    # planted twin pairs are (i, i+60)
+    assert sum(1 for a, b in et if b == a + 60) >= 55
+
+
+def test_embedding_near_pairs_bad_method(spark):
+    from datasketches_pig_spark.ann.knn import embedding_near_pairs
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="unknown method"):
+        embedding_near_pairs(df, method="bogus")
