@@ -169,6 +169,13 @@ def frequent_items_approx(
     merge (sum est / sum err per item) → top_n.  NO_FALSE_NEGATIVES-flavored
     bounds: ub = est, lb = est - err
     (``FrequentStringsSketchToEstimates.java:44-59``)."""
+    if max_map_size < 2 or (max_map_size & (max_map_size - 1)) != 0:
+        raise ValueError(
+            f"max_map_size must be a power of 2 >= 2, got {max_map_size} "
+            "(reference contract: ItemsSketch maxMapSize check)"
+        )
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
     merged = _space_saving_partials(df, item_col, max_map_size)
     return (
         merged.orderBy(F.desc("est"), F.asc("item"))

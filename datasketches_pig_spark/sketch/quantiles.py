@@ -44,6 +44,18 @@ def get_k(accuracy_k: int | None = None) -> int:
     return DEFAULT_KLL_K if accuracy_k is None else accuracy_k
 
 
+def _check_splits(op: str, split_points: list[float]) -> None:
+    """DataSketches contract: split points must be unique and monotonically
+    increasing (``KllFloatsSketch.getPMF`` / ``getCDF`` preconditions)."""
+    if not split_points:
+        raise ValueError(f"{op}: split_points must be non-empty")
+    for lo, hi in zip(split_points, split_points[1:]):
+        if not lo < hi:
+            raise ValueError(
+                f"{op}: split_points must be strictly increasing, got {split_points}"
+            )
+
+
 def get_quantiles(
     df: DataFrame,
     value_col: str,
@@ -54,6 +66,11 @@ def get_quantiles(
 ) -> DataFrame:
     """Values at ranks (``kll/GetQuantiles.java:43-76``).  One output column
     per fraction, named q_<pct>."""
+    if not fractions:
+        raise ValueError("get_quantiles: fractions must be non-empty")
+    for q in fractions:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"get_quantiles: fraction {q} outside [0, 1]")
     aggs = []
     for q in fractions:
         name = f"q_{str(q).replace('.', '_')}"
@@ -72,7 +89,10 @@ def get_even_quantiles(
     df: DataFrame, value_col: str, n: int, group_cols: list[str] | None = None
 ) -> DataFrame:
     """n evenly-spaced quantiles including 0 and 1 (the integer form of
-    ``kll/GetQuantiles.java:43-76``)."""
+    ``kll/GetQuantiles.java:43-76``; the reference requires n ≥ 2 so the
+    endpoints are distinct)."""
+    if n < 2:
+        raise ValueError(f"get_even_quantiles: n must be >= 2, got {n}")
     fracs = [i / (n - 1) for i in range(n)]
     return get_quantiles(df, value_col, fracs, group_cols)
 
@@ -85,6 +105,7 @@ def get_pmf(
 ) -> DataFrame:
     """PMF over split points → m+1 mass fractions, intervals [l, r)
     (``kll/GetPmf.java:40``).  Columns pmf_0..pmf_m."""
+    _check_splits("get_pmf", split_points)
     v = F.col(value_col)
     total = F.count(v)
     edges = [None, *split_points, None]
@@ -112,6 +133,7 @@ def get_cdf(
 ) -> DataFrame:
     """CDF at split points: mass strictly below each split
     (``kll/GetCdf.java:38``), plus a trailing 1.0.  Columns cdf_0..cdf_m."""
+    _check_splits("get_cdf", split_points)
     v = F.col(value_col)
     total = F.count(v)
     aggs = [

@@ -69,6 +69,11 @@ def theta_sketch_agg(
     (groups, hash); bottom-k then runs as a salted two-level aggregation so
     no task ever sorts a whole group (see ``_two_level_bottom_k``).
     """
+    if k < 16 or (k & (k - 1)) != 0:
+        raise ValueError(
+            f"theta sketch size must be a power of 2 >= 16, got {k} "
+            "(reference contract: theta/DataToSketch.java sketch-size check)"
+        )
     hashed = df.select(
         *group_cols, murmur3_h1_ordered(F.col(value_col), seed).alias("__h")
     ).dropna(subset=["__h"]).dropDuplicates([*group_cols, "__h"])

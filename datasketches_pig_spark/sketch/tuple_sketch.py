@@ -20,6 +20,11 @@ from datasketches_pig_spark.functions.stats import welch_t_test
 def aod_sketch(df: DataFrame, key_col: str, value_cols: list[str]) -> DataFrame:
     """DataToArrayOfDoublesSketch analog: per distinct key, the summed values
     (``tuple/DataToArrayOfDoublesSketchBase.java:98``)."""
+    if not value_cols:
+        raise ValueError(
+            "aod_sketch: value_cols must be non-empty "
+            "(reference contract: numValues >= 1, DataToArrayOfDoublesSketchBase)"
+        )
     return df.groupBy(F.col(key_col).alias("key")).agg(
         *[F.sum(v).cast("double").alias(f"sum_{v}") for v in value_cols]
     )

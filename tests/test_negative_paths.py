@@ -144,3 +144,86 @@ def test_reservoir_state_roundtrip_size_and_membership(spark, tmp_path):
     assert all(0 <= i < 500 for i in ids)
     # both halves should be represented (p(miss) ~ (1/2)^32)
     assert any(i < 250 for i in ids) and any(i >= 250 for i in ids)
+
+
+def test_quantile_fraction_out_of_range_raises(spark):
+    from datasketches_pig_spark.sketch.quantiles import get_quantiles
+
+    df = spark.range(10).select(F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError, match="outside"):
+        get_quantiles(df, "v", [0.5, 1.5])
+    with pytest.raises(ValueError, match="non-empty"):
+        get_quantiles(df, "v", [])
+
+
+def test_even_quantiles_n_lt_2_raises(spark):
+    from datasketches_pig_spark.sketch.quantiles import get_even_quantiles
+
+    df = spark.range(10).select(F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError, match="n must be >= 2"):
+        get_even_quantiles(df, "v", 1)
+
+
+def test_pmf_cdf_unsorted_splits_raise(spark):
+    from datasketches_pig_spark.sketch.quantiles import get_cdf, get_pmf
+
+    df = spark.range(10).select(F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError, match="strictly increasing"):
+        get_pmf(df, "v", [5.0, 2.0])
+    with pytest.raises(ValueError, match="strictly increasing"):
+        get_cdf(df, "v", [3.0, 3.0])
+    with pytest.raises(ValueError, match="non-empty"):
+        get_pmf(df, "v", [])
+
+
+def test_theta_bad_k_raises(spark):
+    from datasketches_pig_spark.sketch.theta import theta_sketch_agg
+
+    df = spark.range(10).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    for bad in (0, 8, 100):  # too small / too small / not a power of 2
+        with pytest.raises(ValueError, match="power of 2"):
+            theta_sketch_agg(df, ["g"], "v", k=bad)
+
+
+def test_frequent_items_approx_bad_map_size_raises(spark):
+    from datasketches_pig_spark.sketch.frequencies import frequent_items_approx
+
+    df = spark.range(10).select(F.col("id").cast("string").alias("item"))
+    with pytest.raises(ValueError, match="power of 2"):
+        frequent_items_approx(df, "item", 3, max_map_size=100)
+    with pytest.raises(ValueError, match="top_n"):
+        frequent_items_approx(df, "item", 0)
+
+
+def test_aod_sketch_empty_value_cols_raises(spark):
+    from datasketches_pig_spark.sketch.tuple_sketch import aod_sketch
+
+    df = spark.range(10).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="non-empty"):
+        aod_sketch(df, "k", [])
+
+
+def test_dedup_ops_empty_input(spark):
+    """Dedup operators on an empty documents frame return empty, not error."""
+    from datasketches_pig_spark.textops import dedup as dd
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert dd.minhash_dedup_pairs(empty, "doc_id", "text").count() == 0
+    assert dd.simhash_near_pairs(empty, "doc_id", "text").count() == 0
+
+
+def test_bucket_pairs_singleton_buckets_empty(spark):
+    """Buckets of size 1 produce no pairs at either salting level."""
+    from datasketches_pig_spark.operators.lsh import bucket_pairs
+
+    keyed = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, id string"
+    )
+    assert bucket_pairs(keyed, "k", "id", cap=8).count() == 0
+
+
+def test_embedding_near_pairs_empty_corpus(spark):
+    from datasketches_pig_spark.ann.knn import embedding_near_pairs
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert embedding_near_pairs(empty, method="exact").count() == 0
