@@ -4,11 +4,17 @@ per-stage lineage — the engine's flagship query.
 Stage graph (all DataFrame-native; Python only inside Arrow-batched kernels):
 
     clips ──signature_stage──▶ signatures          (narrow, fused decode+sign)
-    signatures ──bands(text)∪bands(audio)──▶ bands (narrow)
-    bands ──candidate_pairs──▶ candidates          (1 agg + 1 equi self-join)
-    signatures ──exact_dup_pairs──▶ (unioned in)   (1 agg + 1 join)
+    signatures ──bands(text)∪bands(audio)∪exact──▶ bands (narrow)
+    bands ──candidate_pairs──▶ candidates          (ONE salted expansion)
     candidates ⋈ signatures ──verify──▶ verified   (2 joins + Arrow verifier)
     verified ──union-find──▶ clusters              (iterative joins, fixpoint)
+
+The exact-byte fast path rides the same expansion: ``exact_key`` is emitted
+as one more band row per clip (byte-identical clips share every LSH band
+anyway, so this adds recall only for zero-shingle clips while deleting a
+whole second salted-aggregation subtree — two shuffles and a codegen'd
+expansion — from the candidates stage; the verifier still decides exact
+duplicates by comparing ``exact_key`` directly).
 
 Checkpointing mirrors the reference's compact-sketch-between-stages contract:
 each stage materializes to Parquet under ``run_dir`` with a manifest carrying
@@ -29,7 +35,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from datasketches_pig_spark.config import DedupConfig
-from datasketches_pig_spark.operators.lsh import candidate_pairs, exact_dup_pairs
+from datasketches_pig_spark.operators.lsh import candidate_pairs
 from datasketches_pig_spark.operators.stages import bands_stage, signature_stage
 from datasketches_pig_spark.operators.unionfind import connected_components
 from datasketches_pig_spark.operators.verify import verify_pairs
@@ -122,19 +128,21 @@ def run_pipeline(
 
     # bands materialize as their own stage: candidate generation scans them
     # three times (bucket sizes, small-bucket join, big-bucket stars) and must
-    # not re-run the Arrow band-hash pass per scan
+    # not re-run the Arrow band-hash pass per scan.  exact_key is one more
+    # band row per clip — NOT filtered on shingle counts, so byte-identical
+    # silent/empty clips still pair up
     bands = stage(
         "bands",
-        lambda: bands_stage(signatures, cfg, "text").unionByName(
-            bands_stage(signatures, cfg, "audio")
+        lambda: bands_stage(signatures, cfg, "text")
+        .unionByName(bands_stage(signatures, cfg, "audio"))
+        .unionByName(
+            signatures.select("clip_id", F.col("exact_key").alias("band_key"))
         ),
     )
 
     candidates = stage(
         "candidates",
-        lambda: candidate_pairs(bands, cfg)
-        .unionByName(exact_dup_pairs(signatures))
-        .distinct(),
+        lambda: candidate_pairs(bands, cfg).distinct(),
     )
 
     verified = stage(
