@@ -38,9 +38,13 @@ def connected_components(
     """
     max_rounds = cfg.max_unionfind_rounds if cfg else 50
 
-    n_edges = edges.limit(max_driver_edges + 1).count()
-    if n_edges <= max_driver_edges:
-        return _driver_dsu(edges, vertices)
+    # size probe and edge fetch in ONE job: pull at most cap+1 rows — if the
+    # limit was not hit, these rows ARE the full edge set and the driver DSU
+    # runs on them directly (a separate count() probe would pay a second
+    # scheduling round-trip for exactly the same scan)
+    head = edges.select("a", "b").limit(max_driver_edges + 1).toPandas()
+    if len(head) <= max_driver_edges:
+        return _driver_dsu(head, vertices)
 
     sym = (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
@@ -85,11 +89,10 @@ def connected_components(
     )
 
 
-def _driver_dsu(edges: DataFrame, vertices: DataFrame) -> DataFrame:
-    """Collect the (small) verified edge set and run classic union-find with
-    path compression; broadcast the label map back as a join."""
-    spark = edges.sparkSession
-    epdf = edges.select("a", "b").toPandas()
+def _driver_dsu(epdf, vertices: DataFrame) -> DataFrame:
+    """Classic union-find with path compression over an already-collected
+    (small) edge frame; broadcast the label map back as a join."""
+    spark = vertices.sparkSession
     ids: dict[str, int] = {}
 
     def iid(x: str) -> int:

@@ -106,7 +106,7 @@ def run_pipeline(
     lineage: list[dict] = []
     frames: dict[str, DataFrame] = {}
 
-    def stage(name: str, build):
+    def stage(name: str, build, materialize: bool = True):
         t0 = time.time()
         if store and store.has(name):
             df = store.load(name)
@@ -116,9 +116,13 @@ def run_pipeline(
             entry = {"stage": name, "resumed": False, "config": cfg.config_hash()}
             if store:
                 df = store.save(name, df, entry)
-            else:
+                entry["rows_out"] = df.count()
+            elif materialize:
                 df = df.localCheckpoint()
-            entry["rows_out"] = df.count()
+                entry["rows_out"] = df.count()
+            # materialize=False without a store: the stage stays lazy and is
+            # computed inside its (single) consumer's job — no barrier, no
+            # count pass; rows_out is intentionally absent from its lineage
             entry["wall_s"] = round(time.time() - t0, 3)
             lineage.append(entry)
         frames[name] = df
@@ -126,11 +130,13 @@ def run_pipeline(
 
     signatures = stage("signatures", lambda: signature_stage(clips, cfg))
 
-    # bands materialize as their own stage: candidate generation scans them
-    # three times (bucket sizes, small-bucket join, big-bucket stars) and must
-    # not re-run the Arrow band-hash pass per scan.  exact_key is one more
-    # band row per clip — NOT filtered on shingle counts, so byte-identical
-    # silent/empty clips still pair up
+    # bands: a pure JVM explode of the (already-checkpointed) signatures —
+    # its single consumer is the salted expansion, whose own shards persist
+    # covers every downstream re-scan, so without a checkpoint store there is
+    # nothing to protect and the stage stays lazy (one fewer barrier + count
+    # pass).  With a store it still materializes for resume granularity.
+    # exact_key is one more band row per clip — NOT filtered on shingle
+    # counts, so byte-identical silent/empty clips still pair up
     bands = stage(
         "bands",
         lambda: bands_stage(signatures, cfg, "text")
@@ -138,6 +144,7 @@ def run_pipeline(
         .unionByName(
             signatures.select("clip_id", F.col("exact_key").alias("band_key"))
         ),
+        materialize=False,
     )
 
     candidates = stage(
