@@ -2,6 +2,12 @@
 the reference's ``hash.MurmurHash3`` Pig UDF (``pig/hash/MurmurHash3.java:45``):
 128-bit result (h0, h1) plus optional modulo of the unsigned 128-bit value,
 strings UTF-8 encoded first (``:179``), null/empty → null (``:168-181``).
+
+Double canonicalization follows the DataSketches update(double) contract
+(``theta/DataToSketchTest.java:195-199``): -0.0 hashes as +0.0.  NaN is
+treated as null (no update) — a deliberate deviation: Arrow ships SQL NULL
+doubles to pandas as NaN, so the two are indistinguishable batch-side, and
+dropping both matches Pig's null-datum no-op rule.
 """
 
 from __future__ import annotations

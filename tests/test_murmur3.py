@@ -140,3 +140,26 @@ def test_udf_float_zero_and_nan_canonicalization(spark):
     assert rows[1] == rows[2] and rows[1] is not None, "-0.0 and +0.0 must collide"
     assert rows[3] is None, "NaN is a no-op update"
     assert rows[4] is None
+
+
+def test_negative_zero_canonicalization(spark):
+    """DataSketches contract (theta/DataToSketchTest.java:195-199): -0.0 and
+    +0.0 hash identically, so a stream containing both sketches ONE distinct
+    value; NaN rides the null path (no update)."""
+    import pyspark.sql.functions as F
+
+    from datasketches_pig_spark.functions.spark_udfs import murmur3_h1
+    from datasketches_pig_spark.sketch.theta import theta_estimate, theta_sketch_agg
+
+    df = spark.createDataFrame(
+        [("g", 0.0), ("g", -0.0), ("g", float("nan"))], "g string, v double"
+    )
+    hashes = (
+        df.select(murmur3_h1(F.col("v")).alias("h")).toPandas()["h"].tolist()
+    )
+    assert hashes[0] == hashes[1]  # -0.0 == +0.0
+    assert hashes[2] is None or hashes[2] != hashes[2]  # NaN -> null
+
+    sk = theta_sketch_agg(df, ["g"], "v", k=64)
+    est = sk.select(theta_estimate("sketch", 64).alias("e")).collect()[0]["e"]
+    assert est == 1.0
