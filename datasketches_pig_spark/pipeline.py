@@ -117,9 +117,11 @@ def run_pipeline(
             if store:
                 df = store.save(name, df, entry)
                 entry["rows_out"] = df.count()
+                entry["partitions"] = df.rdd.getNumPartitions()
             elif materialize:
                 df = df.localCheckpoint()
                 entry["rows_out"] = df.count()
+                entry["partitions"] = df.rdd.getNumPartitions()
             # materialize=False without a store: the stage stays lazy and is
             # computed inside its (single) consumer's job — no barrier, no
             # count pass; rows_out is intentionally absent from its lineage
