@@ -99,7 +99,10 @@ def main() -> None:
         if scaling_path.exists():
             sc = json.loads(scaling_path.read_text())
             out["scaling_file"] = "BENCH_SCALING.json"
-            eff = sc.get("best_scaling_efficiency")
+            # prefer the final-code measurement over historical best
+            eff = sc.get("best_scaling_efficiency_final_code") or sc.get(
+                "best_scaling_efficiency"
+            )
             if eff is None:
                 effs = []
                 def _walk(o):
