@@ -1,0 +1,215 @@
+"""Incremental near-duplicate detection — the daily-ingest path.
+
+A 10^12-clip corpus is not re-deduplicated from scratch per day: the
+historical state is persisted once (bucketed signature table + bounded LSH
+bucket summaries + cluster assignments) and each new batch runs
+
+    new_sigs   = signature_stage(new_clips)                 (narrow)
+    new x new  = candidate_pairs(new_bands)                 (salted expansion)
+    new x old  = new_bands ⋈ band-bucket store on band_key  (co-located join)
+    verified   = verify_pairs(pairs, new_sigs ∪ stored_sigs)
+    clusters   = union-find over {new ids} ∪ {touched OLD cluster ids}
+
+Scale contract:
+* The historical side never re-expands: old×old pairs were resolved when
+  history was built; only (new, old) and (new, new) pairs are generated.
+* A hot historical bucket (e.g. viral silence, 10^8 members) costs O(new
+  members) — over-cap buckets link each new member only to the bucket's
+  persisted ``center``, the same deterministic representative the original
+  salted expansion star-linked through, so connectivity composes.
+* The band-bucket store is bucketed BY band_key, the signature store by
+  clip_id: both incremental joins shuffle only the day's batch.
+* Old clusters are merged through their cluster ids, not their members: the
+  union-find vertex set is {new clip ids} ∪ {cluster ids of touched old
+  clips} — bounded by the day's edge count, never by history size.
+
+The reference's analog is sketch-state persistence between jobs
+(``sampling/DataToVarOptSketch.java:45`` / ``VarOptUnion.java:46``): persist
+compact mergeable state, union new data into it later.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from datasketches_pig_spark.config import DedupConfig
+from datasketches_pig_spark.operators.lsh import bucket_summaries, candidate_pairs
+from datasketches_pig_spark.operators.stages import bands_stage, signature_stage
+from datasketches_pig_spark.operators.verify import verify_pairs
+
+
+def all_bands(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """text ∪ audio ∪ exact-key band rows — the pipeline's band layout."""
+    return (
+        bands_stage(signatures, cfg, "text")
+        .unionByName(bands_stage(signatures, cfg, "audio"))
+        .unionByName(
+            signatures.select("clip_id", F.col("exact_key").alias("band_key"))
+        )
+    )
+
+
+def save_history(
+    spark: SparkSession,
+    signatures: DataFrame,
+    clusters: DataFrame,
+    cfg: DedupConfig,
+    base_path: str,
+    table_prefix: str,
+    num_buckets: int = 64,
+) -> None:
+    """Persist the dedup state a later incremental batch joins against:
+    signatures bucketed by clip_id, bounded band-bucket summaries bucketed by
+    band_key, cluster assignments bucketed by clip_id."""
+    from datasketches_pig_spark.store import save_signatures_bucketed
+
+    save_signatures_bucketed(
+        signatures, f"{table_prefix}_signatures", f"{base_path}/signatures",
+        num_buckets=num_buckets,
+    )
+    buckets = bucket_summaries(
+        all_bands(signatures, cfg), "band_key", "clip_id", cfg.max_bucket_size
+    )
+    (
+        buckets.write.mode("overwrite")
+        .bucketBy(num_buckets, "band_key")
+        .sortBy("band_key")
+        .option("path", f"{base_path}/band_buckets")
+        .format("parquet")
+        .saveAsTable(f"{table_prefix}_band_buckets")
+    )
+    (
+        clusters.write.mode("overwrite")
+        .bucketBy(num_buckets, "clip_id")
+        .sortBy("clip_id")
+        .option("path", f"{base_path}/clusters")
+        .format("parquet")
+        .saveAsTable(f"{table_prefix}_clusters")
+    )
+
+
+@dataclass
+class IncrementalResult:
+    assignments: DataFrame  # (clip_id, cluster_id) for the NEW batch
+    merges: DataFrame  # (old_cluster_id, cluster_id) for merged old clusters
+    verified: DataFrame
+    stats: dict = field(default_factory=dict)
+
+
+def incremental_dedup(
+    spark: SparkSession,
+    new_clips: DataFrame,
+    cfg: DedupConfig,
+    table_prefix: str,
+    old_transcripts: DataFrame | None = None,
+) -> IncrementalResult:
+    """Dedup a new batch against itself and the persisted history.
+
+    Returns cluster assignments for the new clips (joining an old cluster
+    inherits its cluster_id; merged old clusters resolve to their min id) and
+    the old-cluster merge map to apply to the history table.
+    """
+    stored_sigs = spark.table(f"{table_prefix}_signatures")
+    band_store = spark.table(f"{table_prefix}_band_buckets")
+    old_clusters = spark.table(f"{table_prefix}_clusters")
+
+    new_sigs = signature_stage(new_clips, cfg).localCheckpoint()
+
+    # re-ingest guard: a batch id already present in history would silently
+    # alias two different clips through one union-find vertex.  The probe is
+    # one co-located semi join against the bucketed store.
+    clash = (
+        new_sigs.select("clip_id")
+        .join(stored_sigs.select("clip_id"), "clip_id", "left_semi")
+        .limit(1)
+        .collect()
+    )
+    if clash:
+        raise ValueError(
+            f"incremental_dedup: clip_id {clash[0]['clip_id']!r} already exists "
+            "in history — batch ids must be globally unique (re-ingest?)"
+        )
+
+    new_bands = all_bands(new_sigs, cfg)
+
+    # new×new: the standard salted expansion over today's batch only
+    nn = candidate_pairs(new_bands, cfg)
+
+    # new×old: join the day's band rows against the bounded bucket store —
+    # co-located on band_key; over-cap buckets star to the persisted center
+    hit = new_bands.join(band_store, "band_key")
+    cap = cfg.max_bucket_size
+    no = hit.select(
+        F.col("clip_id").alias("a"),
+        F.explode(
+            F.when(F.col("bucket_n") <= cap, F.col("members")).otherwise(
+                F.array(F.col("center"))
+            )
+        ).alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+
+    pairs = (
+        nn.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .unionByName(
+            no.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        )
+        .distinct()
+    )
+
+    all_sigs = new_sigs.unionByName(stored_sigs)
+    transcripts = new_clips.select("clip_id", "transcript")
+    if old_transcripts is not None:
+        transcripts = transcripts.unionByName(
+            old_transcripts.select("clip_id", "transcript")
+        )
+    verified = verify_pairs(pairs, all_sigs, cfg, transcripts=transcripts).filter(
+        F.col("is_dup")
+    ).localCheckpoint()
+
+    # project old endpoints onto their CLUSTER ids: union-find runs over
+    # {new clip ids} ∪ {touched old cluster ids} — never over history rows
+    oc_a = old_clusters.select(
+        F.col("clip_id").alias("a"), F.col("cluster_id").alias("ca")
+    )
+    oc_b = old_clusters.select(
+        F.col("clip_id").alias("b"), F.col("cluster_id").alias("cb")
+    )
+    edges = (
+        verified.select("a", "b")
+        .join(oc_a, "a", "left")
+        .join(oc_b, "b", "left")
+        .select(
+            F.coalesce("ca", F.col("a")).alias("a"),
+            F.coalesce("cb", F.col("b")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+
+    from datasketches_pig_spark.operators.unionfind import connected_components
+
+    new_ids = new_sigs.select("clip_id")
+    touched_old = edges.select(F.col("a").alias("clip_id")).unionByName(
+        edges.select(F.col("b").alias("clip_id"))
+    ).distinct()
+    comp = connected_components(
+        edges, new_ids.unionByName(touched_old).distinct(), cfg
+    ).localCheckpoint()
+
+    assignments = comp.join(new_ids, "clip_id", "left_semi")
+    merges = (
+        comp.join(
+            old_clusters.select(F.col("cluster_id").alias("clip_id")).distinct(),
+            "clip_id",
+            "left_semi",
+        )
+        .filter(F.col("clip_id") != F.col("cluster_id"))
+        .select(F.col("clip_id").alias("old_cluster_id"), "cluster_id")
+    )
+    return IncrementalResult(
+        assignments=assignments, merges=merges, verified=verified
+    )

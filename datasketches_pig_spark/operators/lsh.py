@@ -171,6 +171,51 @@ def bucket_pairs(
     return out
 
 
+def bucket_summaries(keyed: DataFrame, key: str, id_col: str, cap: int) -> DataFrame:
+    """(key, id) rows → one bounded summary row per bucket:
+    ``(key, members array ≤ cap+1, bucket_n, center)`` — the persistable
+    bucket state an incremental job joins new members against.
+
+    Same two-level salted shape as ``_salted_pairs`` (level-1 per (key, salt)
+    bounds reducer state to bucket/SALT_SHARDS; oversized shards forward only
+    their min member; level-2 state ≤ SALT_SHARDS × (cap+1) members), so an
+    arbitrarily hot bucket summarizes in O(n) with bounded memory.  For
+    buckets ≤ cap the members list is complete; above cap it is a bounded
+    sample plus the exact count and the deterministic center (global min id —
+    the same center ``_star_pairs`` links through, so incremental star-links
+    attach to the identical representative)."""
+    salted = keyed.select(
+        F.col(key), F.col(id_col).alias("clip_id")
+    ).withColumn("__salt", F.pmod(F.xxhash64(id_col), F.lit(SALT_SHARDS)))
+    shards = salted.groupBy(key, "__salt").agg(
+        F.collect_list("clip_id").alias("m"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+    truncated = F.col("sz") > cap + 1
+    summaries = shards.select(
+        key,
+        F.when(
+            truncated, F.slice(F.array_sort("m"), 1, cap + 1)
+        ).otherwise(F.col("m")).alias("m"),
+        "sz",
+    )
+    return (
+        summaries.groupBy(key)
+        .agg(
+            F.slice(F.array_sort(F.flatten(F.collect_list("m"))), 1, cap + 1).alias(
+                "members"
+            ),
+            F.sum("sz").alias("bucket_n"),
+        )
+        .select(
+            key,
+            "members",
+            "bucket_n",
+            F.element_at("members", 1).alias("center"),
+        )
+    )
+
+
 def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     """(clip_id, band_key) → candidate (a, b) pairs with a < b (NOT distinct:
     the caller unions exact-dup pairs and dedupes once)."""

@@ -1,0 +1,118 @@
+"""Incremental dedup: day-2 batch against persisted day-1 history must equal
+the from-scratch run over both days — same cluster membership, same ids."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from datasketches_pig_spark.config import DedupConfig
+from datasketches_pig_spark.data.clips import generate_clips_pandas
+from datasketches_pig_spark.incremental import incremental_dedup, save_history
+from datasketches_pig_spark.pipeline import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def split_corpus(spark):
+    """60 planted groups; day 2 holds one member of several day-1 groups
+    (cross-day dups), every member of the last 10 groups (new-group internal
+    dups), and day-1 keeps the rest."""
+    clips_pdf, _, truth = generate_clips_pandas(60, seed=31)
+    by_cluster = truth.groupby("cluster_id")["clip_id"].apply(list)
+    multi = [c for c in by_cluster.index if len(by_cluster[c]) >= 2]
+    day2_ids = set()
+    for c in multi[:8]:  # cross-day dup: one member moves to day 2
+        day2_ids.add(sorted(by_cluster[c])[-1])
+    for c in by_cluster.index[-10:]:  # whole new groups in day 2
+        day2_ids.update(by_cluster[c])
+    day1 = clips_pdf[~clips_pdf["clip_id"].isin(day2_ids)]
+    day2 = clips_pdf[clips_pdf["clip_id"].isin(day2_ids)]
+    assert len(day1) and len(day2)
+    return (
+        spark.createDataFrame(day1).localCheckpoint(),
+        spark.createDataFrame(day2).localCheckpoint(),
+        spark.createDataFrame(clips_pdf).localCheckpoint(),
+    )
+
+
+def test_incremental_matches_from_scratch(spark, split_corpus, tmp_path_factory):
+    day1, day2, both = split_corpus
+    cfg = DedupConfig()
+    base = str(tmp_path_factory.mktemp("hist"))
+    for t in ("inc_test_signatures", "inc_test_band_buckets", "inc_test_clusters"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    # day 1: full pipeline, persist history
+    r1 = run_pipeline(spark, day1, cfg)
+    save_history(
+        spark, r1.stage_frames["signatures"], r1.clusters, cfg, base, "inc_test",
+        num_buckets=8,
+    )
+
+    # day 2: incremental against the store
+    inc = incremental_dedup(
+        spark, day2, cfg, "inc_test",
+        old_transcripts=day1.select("clip_id", "transcript"),
+    )
+    got_new = {
+        r["clip_id"]: r["cluster_id"] for r in inc.assignments.collect()
+    }
+    merges = {
+        r["old_cluster_id"]: r["cluster_id"] for r in inc.merges.collect()
+    }
+
+    # oracle: from-scratch run over day1 ∪ day2
+    full = run_pipeline(spark, both, cfg)
+    want = {r["clip_id"]: r["cluster_id"] for r in full.clusters.collect()}
+
+    # every day-2 clip gets exactly the from-scratch cluster id
+    assert set(got_new) == {r["clip_id"] for r in day2.select("clip_id").collect()}
+    for cid, cl in got_new.items():
+        assert cl == want[cid], (cid, cl, want[cid])
+
+    # day-1 assignments after applying the merge map equal the from-scratch run
+    old = {r["clip_id"]: r["cluster_id"] for r in r1.clusters.collect()}
+    for cid, cl in old.items():
+        assert merges.get(cl, cl) == want[cid], (cid, cl, merges.get(cl, cl), want[cid])
+
+
+def test_incremental_no_history_hits(spark, split_corpus, tmp_path_factory):
+    """A batch with no relation to history: every clip clusters only within
+    the batch; no old-cluster merges."""
+    day1, _, _ = split_corpus
+    cfg = DedupConfig()
+    base = str(tmp_path_factory.mktemp("hist2"))
+    for t in ("inc2_signatures", "inc2_band_buckets", "inc2_clusters"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    r1 = run_pipeline(spark, day1, cfg)
+    save_history(
+        spark, r1.stage_frames["signatures"], r1.clusters, cfg, base, "inc2",
+        num_buckets=8,
+    )
+
+    fresh_pdf, _, fresh_truth = generate_clips_pandas(6, seed=999)
+    # remap ids: the generator numbers sequentially, and reusing a history id
+    # must be rejected (tested below), so the fresh batch gets its own prefix
+    remap = lambda c: "fresh_" + c
+    fresh_pdf = fresh_pdf.assign(clip_id=fresh_pdf["clip_id"].map(remap))
+    fresh = spark.createDataFrame(fresh_pdf)
+    inc = incremental_dedup(
+        spark, fresh, cfg, "inc2",
+        old_transcripts=day1.select("clip_id", "transcript"),
+    )
+    assert inc.merges.count() == 0
+    got = {r["clip_id"]: r["cluster_id"] for r in inc.assignments.collect()}
+    want = {
+        remap(c): remap(cl)
+        for c, cl in zip(fresh_truth["clip_id"], fresh_truth["cluster_id"])
+    }
+    assert got == want
+
+
+def test_incremental_rejects_reingested_ids(spark, split_corpus):
+    """A batch clip_id already in history must be refused, not aliased."""
+    day1, _, _ = split_corpus
+    cfg = DedupConfig()
+    with pytest.raises(ValueError, match="already exists"):
+        incremental_dedup(
+            spark, day1.limit(3), cfg, "inc2",
+            old_transcripts=day1.select("clip_id", "transcript"),
+        )
