@@ -300,7 +300,14 @@ def simhash_near_pairs(
     is the recommended 100 TB setting."""
     from datasketches_pig_spark.operators.lsh import bucket_pairs
 
-    sigs = minhash_stage(df, id_col, text_col, n, num_perm=8, seed=seed).localCheckpoint()
+    # zero-shingle docs (empty/whitespace/null text) all fingerprint to 0 and
+    # would pair as mutual "near dups"; they are the exact-dedup path's
+    # business, same contract as minhash_lsh_candidates
+    sigs = (
+        minhash_stage(df, id_col, text_col, n, num_perm=8, seed=seed)
+        .filter(F.col("n_shingles") > 0)
+        .localCheckpoint()
+    )
     chunks = sigs.select(
         "id",
         F.explode(

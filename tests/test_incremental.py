@@ -116,3 +116,16 @@ def test_incremental_rejects_reingested_ids(spark, split_corpus):
             spark, day1.limit(3), cfg, "inc2",
             old_transcripts=day1.select("clip_id", "transcript"),
         )
+
+
+def test_band_store_join_colocated(spark, split_corpus):
+    """The new-batch band join against the persisted bucket store must not
+    shuffle the store side (bucketed by band_key)."""
+    stored = spark.table("inc2_band_buckets")
+    probe = spark.createDataFrame([(1,), (2,)], "band_key long")
+    plan = (
+        probe.join(stored.hint("merge"), "band_key")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Bucketed: true" in plan, plan

@@ -243,3 +243,61 @@ def test_embedding_near_pairs_bad_method(spark):
     )
     with pytest.raises(ValueError, match="unknown method"):
         embedding_near_pairs(df, method="bogus")
+
+
+def test_text_ops_degenerate_inputs(spark):
+    """Reference null/empty-edge style (MurmurHash3Test.java:111-174): empty,
+    whitespace-only, unicode, and null transcripts flow through every text
+    operator without error and with sensible values."""
+    import pyspark.sql.functions as F
+
+    from datasketches_pig_spark.textops import dedup as dd
+    from datasketches_pig_spark.textops.analysis import (
+        bpe_ish_token_count,
+        doc_fingerprints,
+        lang_id,
+        quality_features,
+        token_count,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, "   "),
+            (2, "naïve café über schön —ʃɪŋɡəl 分かち書き"),
+            (3, None),
+            (4, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    cols = docs.select(
+        "doc_id",
+        lang_id("text").alias("lang"),
+        token_count("text").alias("ws"),
+        bpe_ish_token_count("text").alias("bpe"),
+    ).collect()
+    assert len(cols) == 5
+    ws = {r["doc_id"]: r["ws"] for r in cols}
+    assert ws[0] == 0 and ws[1] == 0 and ws[4] == 8
+
+    assert quality_features(docs, "doc_id", "text").count() == 5
+    assert doc_fingerprints(docs, "doc_id", "text").count() == 5
+
+    # dedup operators: degenerate docs produce no pairs, no crash
+    assert dd.minhash_dedup_pairs(docs, "doc_id", "text").count() == 0
+    assert dd.simhash_near_pairs(docs.filter("doc_id < 4"), "doc_id", "text").count() == 0
+
+
+def test_minhash_unicode_identical_docs_pair(spark):
+    """Unicode-identical documents must pair with jaccard 1.0 through the
+    full minhash path (UTF-8 shingling, not byte-lossy)."""
+    from datasketches_pig_spark.textops import dedup as dd
+
+    t = "le café naïve — 深層学習 モデル の 蒸留 と 重複 排除 の 検証 手順 を 説明 する"
+    docs = spark.createDataFrame(
+        [(0, t), (1, t), (2, "totally unrelated words here entirely different")],
+        "doc_id long, text string",
+    )
+    pairs = dd.minhash_dedup_pairs(docs, "doc_id", "text", n=3, threshold=0.8).collect()
+    assert [(r["a"], r["b"]) for r in pairs] == [(0, 1)]
+    assert pairs[0]["jaccard"] == 1.0
