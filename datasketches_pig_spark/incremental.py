@@ -102,6 +102,7 @@ class IncrementalResult:
     assignments: DataFrame  # (clip_id, cluster_id) for the NEW batch
     merges: DataFrame  # (old_cluster_id, cluster_id) for merged old clusters
     verified: DataFrame
+    new_sigs: DataFrame | None = None  # batch signatures (for folding forward)
     stats: dict = field(default_factory=dict)
 
 
@@ -217,5 +218,5 @@ def incremental_dedup(
         .select(F.col("clip_id").alias("old_cluster_id"), "cluster_id")
     )
     return IncrementalResult(
-        assignments=assignments, merges=merges, verified=verified
+        assignments=assignments, merges=merges, verified=verified, new_sigs=new_sigs
     )

@@ -1,0 +1,109 @@
+"""Streaming ingest-time near-duplicate detection.
+
+``streaming/ops.py`` gives exact first-seen dedup (per-key state via
+``applyInPandasWithState``); this module adds NEAR-dup at ingest: a
+``readStream`` of new clips is consumed in micro-batches, and each batch runs
+the full incremental path (``incremental.incremental_dedup``) against the
+persisted history stores — then the batch's signatures, bucket rows and
+cluster assignments are folded back into the stores so the NEXT micro-batch
+dedups against everything seen so far.
+
+This is the production shape for a 10^12-clip ingest firehose: state lives in
+the bucketed tables (Iceberg in production), not in executor memory, so
+stream restarts resume from the store exactly like the batch pipeline resumes
+from its checkpoint manifest.  ``foreachBatch`` (not a stateful operator)
+because near-dup state — LSH buckets keyed by 64-bit band hashes — is
+table-shaped, and each micro-batch needs multi-stage joins against it.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from datasketches_pig_spark.config import DedupConfig
+
+
+def _fold_batch_into_history(
+    spark: SparkSession,
+    new_sigs: DataFrame,
+    assignments: DataFrame,
+    merges: DataFrame,
+    cfg: DedupConfig,
+    table_prefix: str,
+    base_path: str,
+) -> None:
+    """Append the batch's state to the stores and apply old-cluster merges.
+
+    Parquet tables here require a rewrite for the merge-map update; an
+    Iceberg catalog does the same fold as a MERGE INTO + append commits.
+    """
+    from datasketches_pig_spark.incremental import all_bands, save_history
+    from datasketches_pig_spark.operators.lsh import bucket_summaries
+
+    old_sigs = spark.table(f"{table_prefix}_signatures").localCheckpoint()
+    old_clusters = spark.table(f"{table_prefix}_clusters").localCheckpoint()
+
+    sigs = old_sigs.unionByName(new_sigs)
+    merge_map = F.broadcast(merges)
+    clusters = (
+        old_clusters.join(merge_map, old_clusters.cluster_id == merges.old_cluster_id, "left")
+        .select(
+            "clip_id",
+            F.coalesce(merge_map.cluster_id, old_clusters.cluster_id).alias("cluster_id"),
+        )
+        .unionByName(assignments)
+    ).localCheckpoint()
+    save_history(spark, sigs.localCheckpoint(), clusters, cfg, base_path, table_prefix)
+
+
+def streaming_ingest_dedup(
+    spark: SparkSession,
+    clips_stream: DataFrame,
+    cfg: DedupConfig,
+    table_prefix: str,
+    base_path: str,
+    assignments_sink: str,
+    checkpoint_dir: str,
+):
+    """Attach incremental near-dup to a streaming clips source.
+
+    Per micro-batch: signature pass → candidates vs (batch ∪ history bucket
+    store) → verify → cluster assignment; assignments append to
+    ``assignments_sink`` (clip_id, cluster_id, batch_id) and the history
+    stores are folded forward.  Returns the StreamingQuery.
+    """
+    from datasketches_pig_spark.incremental import incremental_dedup
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint()
+        if not batch_df.take(1):
+            return
+        # historical transcripts are not persisted (signatures dropped the
+        # column by design) — cross-batch borderline pairs skip the substring
+        # containment check (substr_ok=False), exactly the verify contract
+        # for a missing transcript source
+        inc = incremental_dedup(
+            spark,
+            batch_df,
+            cfg,
+            table_prefix,
+            old_transcripts=None,
+        )
+        assignments = inc.assignments.localCheckpoint()
+        (
+            assignments.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(assignments_sink)
+        )
+        _fold_batch_into_history(
+            spark, inc.new_sigs, assignments, inc.merges.localCheckpoint(),
+            cfg, table_prefix, base_path,
+        )
+
+    return (
+        clips_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )

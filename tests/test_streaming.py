@@ -233,3 +233,66 @@ def test_streaming_dedup_exact_matches_batch_distinct(spark, tmp_path):
     # 4 distinct (k, ts) pairs out of 5 rows
     assert len(got) == 4
     assert got.duplicated(subset=["k", "ts"]).sum() == 0
+
+
+def test_streaming_ingest_dedup_matches_from_scratch(spark, tmp_path):
+    """Two streamed micro-batches folded into persisted history must leave
+    the cluster state identical to the from-scratch batch run over all
+    clips (modulo transcript-less borderline pairs, which this corpus has
+    none of)."""
+    import pyspark.sql.functions as F
+
+    from datasketches_pig_spark.config import DedupConfig
+    from datasketches_pig_spark.data.clips import generate_clips_pandas
+    from datasketches_pig_spark.incremental import save_history
+    from datasketches_pig_spark.pipeline import run_pipeline
+    from datasketches_pig_spark.streaming.ingest import streaming_ingest_dedup
+
+    cfg = DedupConfig()
+    clips_pdf, _, truth = generate_clips_pandas(24, seed=55)
+    by_cluster = truth.groupby("cluster_id")["clip_id"].apply(list)
+    order = sorted(clips_pdf["clip_id"])
+    # history = first 60% of ids; two stream batches split the rest, so some
+    # groups straddle history/batch and batch/batch boundaries
+    n = len(order)
+    hist_ids = set(order[: int(n * 0.6)])
+    b1_ids = set(order[int(n * 0.6): int(n * 0.8)])
+    hist = clips_pdf[clips_pdf["clip_id"].isin(hist_ids)]
+    b1 = clips_pdf[clips_pdf["clip_id"].isin(b1_ids)]
+    b2 = clips_pdf[~clips_pdf["clip_id"].isin(hist_ids | b1_ids)]
+
+    for t in ("sing_signatures", "sing_band_buckets", "sing_clusters"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    r0 = run_pipeline(spark, spark.createDataFrame(hist), cfg)
+    save_history(
+        spark, r0.stage_frames["signatures"], r0.clusters, cfg,
+        str(tmp_path / "hist"), "sing", num_buckets=8,
+    )
+
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    schema = spark.createDataFrame(clips_pdf).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = streaming_ingest_dedup(
+        spark, stream, cfg, "sing", str(tmp_path / "hist"),
+        str(tmp_path / "assign_out"), str(tmp_path / "ckpt"),
+    )
+    try:
+        spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["clip_id"]: r["cluster_id"]
+        for r in spark.table("sing_clusters").collect()
+    }
+    full = run_pipeline(spark, spark.createDataFrame(clips_pdf), cfg)
+    want = {r["clip_id"]: r["cluster_id"] for r in full.clusters.collect()}
+    assert got == want
+
+    sink = spark.read.parquet(str(tmp_path / "assign_out"))
+    assert sink.select("batch_id").distinct().count() == 2
+    assert sink.count() == len(b1) + len(b2)
