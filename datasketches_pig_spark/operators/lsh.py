@@ -186,7 +186,7 @@ def bucket_summaries(keyed: DataFrame, key: str, id_col: str, cap: int) -> DataF
     attach to the identical representative)."""
     salted = keyed.select(
         F.col(key), F.col(id_col).alias("clip_id")
-    ).withColumn("__salt", F.pmod(F.xxhash64(id_col), F.lit(SALT_SHARDS)))
+    ).withColumn("__salt", F.pmod(F.xxhash64("clip_id"), F.lit(SALT_SHARDS)))
     shards = salted.groupBy(key, "__salt").agg(
         F.collect_list("clip_id").alias("m"),
         F.count(F.lit(1)).alias("sz"),

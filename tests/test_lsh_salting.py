@@ -67,3 +67,35 @@ def test_adaptive_matches_salted_path(spark):
         .collect()
     }
     assert fast == slow and len(fast) == 40 * 10  # exact all-pairs per bucket
+
+
+def test_bucket_summaries_invariants(spark):
+    """bucket_n exact, center == global min, members complete iff <= cap+1,
+    members always sorted and bounded — including buckets far above cap."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from datasketches_pig_spark.operators.lsh import bucket_summaries
+
+    rng = random.Random(7)
+    rows = []
+    sizes = {1: 1, 2: 2, 3: 9, 4: 10, 5: 250}  # cap=9 → 3 is complete, 4/5 not
+    for key, sz in sizes.items():
+        ids = rng.sample(range(100000), sz)
+        rows += [(key, f"c{i:06d}") for i in ids]
+    df = spark.createDataFrame(rows, "k long, id string")
+    out = {r["k"]: r for r in bucket_summaries(df, "k", "id", cap=9).collect()}
+
+    truth = {}
+    for key, sz in sizes.items():
+        members = sorted(i for kk, i in rows if kk == key)
+        truth[key] = members
+    for key, sz in sizes.items():
+        r = out[key]
+        assert r["bucket_n"] == sz
+        assert r["center"] == truth[key][0]
+        assert list(r["members"]) == sorted(r["members"])
+        assert len(r["members"]) <= 10
+        if sz <= 10:
+            assert list(r["members"]) == truth[key]
