@@ -35,8 +35,17 @@ def _fold_batch_into_history(
 ) -> None:
     """Append the batch's state to the stores and apply old-cluster merges.
 
-    Parquet tables here require a rewrite for the merge-map update; an
-    Iceberg catalog does the same fold as a MERGE INTO + append commits.
+    COST + ATOMICITY CONTRACT (parquet mode): this fold rewrites the full
+    history — signature union, bucket-summary recompute, cluster table — so
+    each micro-batch pays O(history) IO, and the overwrite is NOT atomic (a
+    crash mid-``save_history`` can leave a partially-written store; recover
+    by re-running the fold from the last good assignments sink).  That is
+    acceptable for bounded backfills and tests; a production 10^12-clip
+    firehose must use an Iceberg catalog, where the same fold is an atomic
+    MERGE INTO (touched band_keys / merged cluster ids only) plus append
+    commits — O(batch), not O(history).  The micro-batch itself is already
+    O(batch) (``incremental_dedup`` joins against the bucketed stores); only
+    this persistence fold differs between the two backends.
     """
     from datasketches_pig_spark.incremental import all_bands, save_history
     from datasketches_pig_spark.operators.lsh import bucket_summaries
@@ -65,6 +74,7 @@ def streaming_ingest_dedup(
     base_path: str,
     assignments_sink: str,
     checkpoint_dir: str,
+    transcript_store: str | None = None,
 ):
     """Attach incremental near-dup to a streaming clips source.
 
@@ -72,6 +82,15 @@ def streaming_ingest_dedup(
     store) → verify → cluster assignment; assignments append to
     ``assignments_sink`` (clip_id, cluster_id, batch_id) and the history
     stores are folded forward.  Returns the StreamingQuery.
+
+    ``transcript_store``: optional parquet path of historical
+    ``(clip_id, transcript)`` rows.  When given, cross-batch borderline
+    pairs recover the batch pipeline's substring-containment check (streamed
+    cluster state then matches the from-scratch batch run even on borderline
+    near-dups), and each batch's transcripts are appended so later batches
+    see them.  When None, cross-batch borderline pairs skip the substring
+    check (``substr_ok=False``) — the documented verify contract for a
+    missing transcript source.
     """
     from datasketches_pig_spark.incremental import incremental_dedup
 
@@ -79,16 +98,18 @@ def streaming_ingest_dedup(
         batch_df = batch_df.localCheckpoint()
         if not batch_df.take(1):
             return
-        # historical transcripts are not persisted (signatures dropped the
-        # column by design) — cross-batch borderline pairs skip the substring
-        # containment check (substr_ok=False), exactly the verify contract
-        # for a missing transcript source
+        old_transcripts = None
+        if transcript_store is not None:
+            try:
+                old_transcripts = spark.read.parquet(transcript_store)
+            except Exception:
+                old_transcripts = None  # first batch: store not created yet
         inc = incremental_dedup(
             spark,
             batch_df,
             cfg,
             table_prefix,
-            old_transcripts=None,
+            old_transcripts=old_transcripts,
         )
         assignments = inc.assignments.localCheckpoint()
         (
@@ -100,6 +121,12 @@ def streaming_ingest_dedup(
             spark, inc.new_sigs, assignments, inc.merges.localCheckpoint(),
             cfg, table_prefix, base_path,
         )
+        if transcript_store is not None:
+            (
+                batch_df.select("clip_id", "transcript")
+                .write.mode("append")
+                .parquet(transcript_store)
+            )
 
     return (
         clips_stream.writeStream.foreachBatch(sink)

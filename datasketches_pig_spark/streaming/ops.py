@@ -175,11 +175,16 @@ def streaming_dedup_exact(
     watermark: str = "2 hours",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Built-in streaming exact dedup: ``dropDuplicates`` over the key within
-    the watermark horizon — state per key is bounded by the watermark (keys
-    older than the horizon are evicted), the scale-safe complement to the
-    unbounded-history ``streaming_first_seen``."""
+    """Built-in streaming exact dedup: first event per KEY within the
+    watermark horizon is kept; later events with the same key are dropped
+    until the key's state ages past the watermark.  State per key is bounded
+    by the watermark (keys older than the horizon are evicted) — the
+    scale-safe complement to the unbounded-history ``streaming_first_seen``.
+
+    Uses ``dropDuplicatesWithinWatermark`` (Spark 3.5+) so the dedup really
+    is per key, not per (key, event-time) — duplicate keys with *different*
+    timestamps inside the horizon are dropped too."""
     events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-    return events.withWatermark(ts_col, watermark).dropDuplicates(
-        [*key_cols, ts_col]
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
     )

@@ -69,16 +69,18 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    max_doc_freq: int | None = 1000,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with word-n-gram Jaccard ≥ threshold — the
     brute-force-exact dedup (quadratic in co-shingled docs; the oracle for
-    the MinHash path).
+    the MinHash path).  The default is EXACT (no shingle dropped) so this
+    operator stays a valid oracle.
 
-    ``max_doc_freq`` (default 1000) drops shingles appearing in more docs
-    than that before the self-join — without it one stopword-gram ("of the
-    and") makes the join quadratic in corpus size.  Pass None only for
-    small-corpus oracle runs where exactness must include stop-grams."""
+    At corpus scale, pass ``max_doc_freq`` (e.g. 1000) to drop shingles
+    appearing in more docs than that before the self-join — without it one
+    stopword-gram ("of the and") makes the join quadratic in corpus size.
+    With it set, Jaccard values over hot-shingled pairs are approximate
+    (stopword-gram pruning); the MinHash-LSH path is the production dedup."""
     grams = word_ngrams(df, id_col, text_col, n)
     if max_doc_freq:
         hot = grams.groupBy("shingle").count().filter(F.col("count") > max_doc_freq)

@@ -230,9 +230,11 @@ def test_streaming_dedup_exact_matches_batch_distinct(spark, tmp_path):
     got = _run_stream_to_memory(
         spark, streaming_dedup_exact(stream, ["k"]), "dedup_exact_stream", "append"
     ).toPandas()
-    # 4 distinct (k, ts) pairs out of 5 rows
-    assert len(got) == 4
-    assert got.duplicated(subset=["k", "ts"]).sum() == 0
+    # per-KEY dedup within the 2h watermark horizon: all five rows fall inside
+    # one horizon, so exactly one row survives per key regardless of timestamp
+    assert sorted(got["k"]) == ["a", "b"]
+    # the survivor is the first-seen event per key
+    assert got.set_index("k")["ts"]["a"] == pd.Timestamp("2024-01-01 00:00:01")
 
 
 def test_streaming_ingest_dedup_matches_from_scratch(spark, tmp_path):
