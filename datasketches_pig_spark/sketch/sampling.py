@@ -20,6 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 DEFAULT_TARGET_K = 1024  # sampling/VarOptCommonImpl.java:42
+_N_SALTS = 32  # grouped two-level fan-out; level-2 state <= _N_SALTS * k rows
 
 
 def reservoir_sample(
@@ -38,9 +39,28 @@ def reservoir_sample(
         # single-partition global window (that was a one-task sort of the
         # whole table).  The <= k shortcut falls out: limit keeps all rows.
         return df.orderBy(F.rand(seed)).limit(k)
-    w = Window.partitionBy(*group_cols).orderBy(F.rand(seed), *group_cols)
-    out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
-    return out.drop("__rn")
+    # Grouped: keep the k smallest random keys per group, as a two-level
+    # bottom-k (the salted split of sketch/theta.py:_two_level_bottom_k) so a
+    # hot group (10^9 rows) is never a single-task sort: level 1 keeps
+    # bottom-k per (group, salt) across _N_SALTS spillable window tasks,
+    # level 2 merges <= _N_SALTS * k survivors per group by the SAME random
+    # key — the result is exactly the per-group bottom-k of the key.  The
+    # <= k shortcut falls out (every row survives both levels).
+    keyed = df.withColumn("__r", F.rand(seed)).withColumn(
+        "__salt", (F.rand(seed + 1) * _N_SALTS).cast("int")
+    )
+    w1 = Window.partitionBy(*group_cols, "__salt").orderBy("__r")
+    lvl1 = (
+        keyed.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__salt")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy("__r")
+    return (
+        lvl1.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__r")
+    )
 
 
 def reservoir_union(
@@ -97,29 +117,44 @@ def reservoir_state(
     if keys:
         samples = sample.groupBy(*keys).agg(F.collect_list(rec).alias("samples"))
         counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
-        return counts.join(samples, keys)
+        return counts.join(samples, keys).withColumn("k", F.lit(k))
     samples = sample.agg(F.collect_list(rec).alias("samples"))
     counts = df.agg(F.count(F.lit(1)).alias("n"))
-    return counts.crossJoin(samples)
+    return counts.crossJoin(samples).withColumn("k", F.lit(k))
 
 
 def reservoir_union_states(
     states: DataFrame,
-    k: int,
+    k: int | None = None,
     group_cols: list[str] | None = None,
     n_col: str = "n",
     samples_col: str = "samples",
     seed: int = 9001,
+    k_col: str = "k",
 ) -> DataFrame:
     """Merge persisted reservoir states per group (``ReservoirUnion.java:48``
     over ``reservoir_state`` rows): weighted sampling without replacement
     (A-ExpJ keys) over all retained samples.  Exact mode (every state's
-    n == |samples|) returns the union of the inputs — rows, not state."""
-    if k < 2:
+    n == |samples|) returns the union of the inputs — rows, not state.
+
+    ``k=None`` (mixed-k merge) reconciles states persisted with different
+    ks the way the reference does: the merged reservoir uses the MINIMUM
+    valid k across the input states (``ReservoirUnion.java:48,73`` — a
+    smaller-k reservoir cannot be "grown back", so the union degrades to the
+    smallest), read from each state row's ``k_col`` per merge scope (per
+    group when grouped).  Pass an explicit ``k`` to override."""
+    if k is not None and k < 2:
         raise ValueError("reservoir k must be >= 2")
     keys = group_cols or []
+    if k is None and k_col not in states.columns:
+        raise ValueError(
+            f"mixed-k merge (k=None) needs a {k_col!r} column in the state "
+            "(written by reservoir_state); pass k= explicitly for legacy states"
+        )
+    kcap = F.lit(k) if k is not None else F.col("__kmin")
     exploded = states.select(
         *keys,
+        *([] if k is not None else [F.col(k_col).alias("__k")]),
         F.col(n_col).alias("__n"),
         F.size(samples_col).alias("__sz"),
         F.explode(samples_col).alias("__s"),
@@ -128,11 +163,24 @@ def reservoir_union_states(
         "__key", F.pow(F.rand(seed), F.col("__sz").cast("double") / F.col("__n"))
     )
     if not keys:
+        if k is None:
+            # one-row broadcast of the global minimum valid k
+            kmin = states.agg(F.min(k_col).alias("__kmin"))
+            keyed = keyed.crossJoin(F.broadcast(kmin))
+            w = Window.partitionBy(F.lit(1)).orderBy(F.desc("__key"))
+            return (
+                keyed.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= kcap)
+                .select("__s.*")
+            )
         return keyed.orderBy(F.desc("__key")).limit(k).select("__s.*")
+    if k is None:
+        kmin = states.groupBy(*keys).agg(F.min(k_col).alias("__kmin"))
+        keyed = keyed.join(F.broadcast(kmin), keys)
     w = Window.partitionBy(*keys).orderBy(F.desc("__key"))
     return (
         keyed.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
+        .filter(F.col("__rn") <= kcap)
         .select(*keys, "__s.*")
     )
 
@@ -153,20 +201,49 @@ def varopt_state(
     rec_cols = [c for c in sample.columns if c not in keys]
     rec = F.struct(*rec_cols)
     if keys:
-        return sample.groupBy(*keys).agg(F.collect_list(rec).alias("state"))
-    return sample.agg(F.collect_list(rec).alias("state"))
+        st = sample.groupBy(*keys).agg(F.collect_list(rec).alias("state"))
+    else:
+        st = sample.agg(F.collect_list(rec).alias("state"))
+    return st.withColumn("k", F.lit(k))
 
 
 def varopt_union_states(
     states: DataFrame,
-    k: int = DEFAULT_TARGET_K,
+    k: int | None = None,
     group_cols: list[str] | None = None,
     state_col: str = "state",
     seed: int = 9001,
+    k_col: str = "k",
 ) -> DataFrame:
     """Merge persisted VarOpt states per group (``VarOptUnion.java:46``):
     explode back to weighted rows and VarOpt over the union keyed on the
-    adjusted weights (unbiasedness argument as in ``varopt_union``)."""
+    adjusted weights (unbiasedness argument as in ``varopt_union``).
+
+    ``k=None`` (mixed-k merge) reconciles states persisted with different
+    ks the way the reference does: the merged sketch uses the LARGEST valid
+    k among the input sketches (``VarOptUnion.java:40-42`` — VarOpt partials
+    stay valid under a larger target, so the union keeps the most state it
+    can), read from each state row's ``k_col`` per merge scope (per group
+    when grouped).  Pass an explicit ``k`` to override."""
+    keys = group_cols or []
+    if k is None:
+        if k_col not in states.columns:
+            raise ValueError(
+                f"mixed-k merge (k=None) needs a {k_col!r} column in the state "
+                "(written by varopt_state); pass k= explicitly for legacy states"
+            )
+        if keys:
+            kmax = states.groupBy(*keys).agg(F.max(k_col).alias("__kcap"))
+        else:
+            kmax = states.agg(F.max(k_col).alias("__kcap"))
+        exploded = get_varopt_samples(states, keys, state_col)
+        if keys:
+            exploded = exploded.join(F.broadcast(kmax), keys)
+        else:
+            exploded = exploded.crossJoin(F.broadcast(kmax))
+        return _varopt_bounded_group_sample(
+            exploded, "__kcap", "vo_weight", keys, seed
+        )
     exploded = get_varopt_samples(states, group_cols, state_col)
     return varopt_sample(
         exploded, k=k, weight_col="vo_weight", group_cols=group_cols, seed=seed
@@ -244,6 +321,38 @@ def _varopt_group(pdf: pd.DataFrame, k: int, weight_col: str, seed: int) -> pd.D
     return out
 
 
+def _varopt_bounded_group_sample(
+    df: DataFrame,
+    kcap_col: str,
+    weight_col: str,
+    keys: list[str],
+    seed: int,
+) -> DataFrame:
+    """Whole-group VarOpt for inputs that are ALREADY bounded per group
+    (state merges: ≤ n_states × k rows per group), with the target k read
+    per group from ``kcap_col``.  Not for raw tables — ``varopt_sample``'s
+    partial→final split is the unbounded-input path."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name not in ("vo_weight", kcap_col)
+    ) + ", vo_weight double"
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        kk = int(pdf[kcap_col].iloc[0])
+        return _varopt_group(pdf.drop(columns=[kcap_col]), kk, weight_col, seed)
+
+    if keys:
+        return df.groupBy(*keys).applyInPandas(run, schema=out_schema)
+    return (
+        df.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(
+            lambda pdf: run(pdf.drop(columns=["__g"])), schema=out_schema
+        )
+    )
+
+
 def varopt_sample(
     df: DataFrame,
     k: int = DEFAULT_TARGET_K,
@@ -253,13 +362,16 @@ def varopt_sample(
 ) -> DataFrame:
     """Weighted VarOpt sample per group → original columns + vo_weight.
 
-    Ungrouped path is the reference's Algebraic split
+    Both paths are the reference's Algebraic split
     (``sampling/DataToVarOptSketch.java:45`` initial / ``VarOptUnion.java:46``
-    final): a per-partition partial VarOpt runs in ``mapInPandas`` with state
-    bounded at k + one Arrow batch, then a single bounded merge over at most
-    n_partitions * k partial rows — the full table never ships to one Python
-    worker.  VarOpt-of-VarOpt is unbiased because adjusted weights are
-    unbiased for the originals.
+    final, streaming-Accumulator contract ``VarOptSampling.java:93-109``):
+    a partial VarOpt runs narrow in ``mapInPandas`` — per partition when
+    ungrouped, per (partition, group) when grouped — with state bounded at k
+    rows per group per task, then one bounded merge per group over at most
+    n_partitions * k partial rows.  A hot group (10^9 weighted rows) never
+    materializes in one Python worker: each task retains ≤ k of its rows and
+    only the ≤ n_partitions * k survivors shuffle.  VarOpt-of-VarOpt is
+    unbiased because adjusted weights are unbiased for the originals.
     """
     keys = group_cols or []
     schema_fields = [f for f in df.schema.fields if f.name != "vo_weight"]
@@ -268,10 +380,30 @@ def varopt_sample(
     ) + ", vo_weight double"
 
     if keys:
-        def run(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _varopt_group(pdf, k, weight_col, seed)
+        def partial_grouped(batches):
+            pools: dict = {}
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["vo_weight"] = pdf[weight_col].astype(float)
+                for gkey, g in pdf.groupby(keys, sort=False, dropna=False):
+                    prev = pools.get(gkey)
+                    pool = (
+                        g
+                        if prev is None
+                        else pd.concat([prev, g], ignore_index=True)
+                    )
+                    pools[gkey] = _varopt_group(pool, k, "vo_weight", seed)
+            if pools:
+                yield pd.concat(pools.values(), ignore_index=True)
 
-        return df.groupBy(*keys).applyInPandas(run, schema=out_schema)
+        partials = df.mapInPandas(partial_grouped, schema=out_schema)
+
+        def final_grouped(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _varopt_group(pdf, k, "vo_weight", seed)
+
+        return partials.groupBy(*keys).applyInPandas(
+            final_grouped, schema=out_schema
+        )
 
     def partial(batches):
         cur = None

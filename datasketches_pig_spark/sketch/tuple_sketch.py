@@ -161,10 +161,28 @@ def aod_p_values_df(
     return joined.mapInPandas(kernel, schema=schema)
 
 
-def double_summary_sketch(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
-    """DataToDoubleSummarySketch analog (sum mode) —
-    ``tuple/DataToDoubleSummarySketch.java:33``."""
-    return aod_sketch(df, key_col, [value_col])
+_DS_MODES = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+def double_summary_sketch(
+    df: DataFrame, key_col: str, value_col: str, mode: str = "sum"
+) -> DataFrame:
+    """DataToDoubleSummarySketch analog —
+    ``tuple/DataToDoubleSummarySketch.java:33`` (sum is the Pig default).
+    ``mode`` selects the datasketches DoubleSummary.Mode: per distinct key,
+    the Sum / Min / Max of its values (AlwaysOne is the theta sketch —
+    ``theta_sketch_agg`` — not duplicated here).  Output column is named
+    ``{mode}_{value_col}``."""
+    try:
+        agg = _DS_MODES[mode.lower()]
+    except KeyError:
+        raise ValueError(
+            f"double_summary_sketch: mode must be one of {sorted(_DS_MODES)}, "
+            f"got {mode!r} (DoubleSummary.Mode analog)"
+        ) from None
+    return df.groupBy(F.col(key_col).alias("key")).agg(
+        agg(value_col).cast("double").alias(f"{mode.lower()}_{value_col}")
+    )
 
 
 def double_summary_estimates(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
