@@ -12,7 +12,10 @@ from __future__ import annotations
 import numpy as np
 
 from datasketches_pig_spark.config import DedupConfig
-from datasketches_pig_spark.functions.murmur3 import murmur3_long_batch
+from datasketches_pig_spark.functions.murmur3 import (
+    murmur3_long_batch,
+    murmur3_x64_128_fixed,
+)
 
 U64 = np.uint64
 _MAX_U64 = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -191,6 +194,93 @@ def simhash64(hashes: np.ndarray, counts: np.ndarray) -> np.ndarray:
         fp |= ((2 * sums > cnt).astype(U64)) << U64(j)
     out[nz] = fp.view(np.int64)
     return out
+
+
+def flat_token_hashes(
+    texts: list[str | None], seed: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch word tokenization + murmur token hashing with NO per-token
+    Python.
+
+    Tokens are ASCII-whitespace-separated runs of the lowercased utf-8 bytes
+    (``bytes.split()`` — matching the relational ``F.split(r"\\s+")`` shingle
+    form more closely than unicode ``str.split``).  All tokens across the
+    batch land in one byte buffer; starts/lengths fall out of vectorized
+    space-scanning, and hashing runs through the fixed-length murmur kernel
+    once per distinct token length.
+
+    Returns ``(token_h1, per_doc_token_counts)`` — the flat uint64 token
+    hashes in document order plus each document's token count.
+    """
+    n_docs = len(texts)
+    tok_counts = np.zeros(n_docs, dtype=np.int64)
+    parts: list[bytes] = []
+    for i, t in enumerate(texts):
+        toks = (t or "").lower().encode("utf-8").split()
+        tok_counts[i] = len(toks)
+        if toks:
+            parts.append(b" ".join(toks))
+    total = int(tok_counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), tok_counts
+    arr = np.frombuffer(b" ".join(parts), dtype=np.uint8)
+    is_sp = arr == 0x20
+    nonsp = ~is_sp
+    starts = np.flatnonzero(nonsp & np.concatenate([[True], is_sp[:-1]]))
+    ends = np.flatnonzero(nonsp & np.concatenate([is_sp[1:], [True]]))
+    lengths = ends - starts + 1
+    th = np.empty(total, dtype=np.uint64)
+    order = np.argsort(lengths, kind="stable")
+    slen = lengths[order]
+    bounds = np.concatenate(
+        [[0], np.flatnonzero(slen[1:] != slen[:-1]) + 1, [total]]
+    )
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        idx = order[s:e]
+        length = int(slen[s])
+        mat = arr[starts[idx][:, None] + np.arange(length)[None, :]]
+        h1, _ = murmur3_x64_128_fixed(np.ascontiguousarray(mat), seed)
+        th[idx] = h1
+    return th, tok_counts
+
+
+def word_ngram_hash_sets(
+    texts: list[str | None], n: int, seed: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per text: uint64 hashes of its DISTINCT word n-grams, flat across the
+    batch (concatenated values + per-doc counts) — no per-doc Python.
+
+    The n-gram hash is hash-of-token-hashes: murmur over the 8n-byte window
+    of ``n`` consecutive token murmur h1 values (equal grams ⇒ equal hashes;
+    spurious equality is a 2^-64 murmur collision, the same contract as every
+    other shingle hash here).  Docs with fewer than ``n`` tokens contribute
+    no grams, matching the relational ``word_ngrams`` guard.  The scalar
+    replication used by the VALUES oracles lives in
+    ``tools/gen_simhash_oracle.py``.
+    """
+    n_docs = len(texts)
+    counts = np.zeros(n_docs, dtype=np.int64)
+    th, tok_counts = flat_token_hashes(texts, seed)
+    total = len(th)
+    if total < n:
+        return np.empty(0, dtype=np.uint64), counts
+    doc_id = np.repeat(np.arange(n_docs, dtype=np.int64), tok_counts)
+    win = np.lib.stride_tricks.sliding_window_view(th, n)  # (total-n+1, n)
+    valid = doc_id[: total - n + 1] == doc_id[n - 1 :]
+    if not valid.any():
+        return np.empty(0, dtype=np.uint64), counts
+    data = np.ascontiguousarray(win[valid]).view(np.uint8)
+    gh, _ = murmur3_x64_128_fixed(data.reshape(-1, 8 * n), seed)
+    gdoc = doc_id[: total - n + 1][valid]
+    # distinct per doc: one lexsort, drop adjacent duplicates
+    order = np.lexsort((gh, gdoc))
+    gd, gs = gdoc[order], gh[order]
+    keep = np.empty(len(gs), dtype=bool)
+    keep[0] = True
+    keep[1:] = (gd[1:] != gd[:-1]) | (gs[1:] != gs[:-1])
+    gd, gs = gd[keep], gs[keep]
+    counts = np.bincount(gd, minlength=n_docs).astype(np.int64)
+    return gs, counts
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -1235,29 +1235,30 @@ SELECT a, b, ROUND(cosine, 6) AS cosine FROM scored WHERE cosine >= 0.42
 # Regenerate: python tools/gen_simhash_oracle.py
 SQL_DEDUP_SIMHASH = """
 SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, CAST(hamming AS INT) AS hamming FROM (VALUES
-  (8, 245, 3),
-  (31, 383, 3),
-  (45, 267, 3),
+  (8, 245, 4),
+  (26, 455, 4),
+  (31, 383, 6),
+  (44, 446, 2),
+  (45, 267, 4),
   (45, 413, 2),
-  (58, 293, 3),
-  (61, 185, 5),
-  (70, 447, 1),
-  (72, 377, 2),
-  (87, 134, 4),
+  (58, 293, 4),
+  (61, 185, 2),
+  (70, 447, 4),
+  (72, 377, 6),
+  (87, 134, 5),
   (92, 450, 2),
-  (98, 290, 3),
+  (98, 290, 1),
   (107, 387, 1),
   (120, 332, 4),
   (152, 178, 1),
   (166, 323, 1),
-  (267, 413, 3),
-  (285, 301, 2),
-  (295, 374, 1),
-  (310, 389, 6),
-  (326, 457, 4),
-  (393, 420, 0),
-  (435, 486, 5),
-  (458, 462, 4)
+  (267, 413, 2),
+  (285, 301, 4),
+  (295, 374, 4),
+  (310, 389, 3),
+  (326, 457, 3),
+  (393, 420, 1),
+  (458, 462, 2)
 ) t(a, b, hamming)
 """
 

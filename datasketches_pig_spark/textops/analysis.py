@@ -15,8 +15,6 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from datasketches_pig_spark.functions.murmur3 import murmur3_bytes_batch
-
 # marker-word profiles for the deterministic n-gram/stopword language heuristic
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "is", "a"],
@@ -97,27 +95,66 @@ _FP_BASE = np.uint64(1000003)
 _FP_WINDOW = 8
 
 
+def _fingerprint_batch(texts: list[str | None]) -> np.ndarray:
+    """Vectorized winnowing fingerprints for a batch: flat token murmur
+    hashes (``flat_token_hashes`` — no per-token Python), then the Karp-Rabin
+    fold runs once per window POSITION (w steps over all windows of all docs
+    at once) and the per-doc min falls out of ``minimum.reduceat``.  Docs
+    with fewer than ``_FP_WINDOW`` tokens use one whole-doc window, computed
+    the same way per token-count bucket (≤ 7 tiny groups).  Scalar
+    replication: ``tools/gen_fingerprint_oracle.py``."""
+    from datasketches_pig_spark.operators.signatures import flat_token_hashes
+
+    n_docs = len(texts)
+    out = np.zeros(n_docs, dtype=np.int64)
+    th, tok_counts = flat_token_hashes(texts, seed=9001)
+    if len(th) == 0:
+        return out
+    doc_start = np.concatenate([[0], np.cumsum(tok_counts)[:-1]])
+
+    # full-window docs: every window of _FP_WINDOW consecutive tokens that
+    # stays inside one doc
+    full = tok_counts >= _FP_WINDOW
+    if full.any():
+        total = len(th)
+        w = _FP_WINDOW
+        win = np.lib.stride_tricks.sliding_window_view(th, w)  # (total-w+1, w)
+        doc_id = np.repeat(np.arange(n_docs, dtype=np.int64), tok_counts)
+        valid = doc_id[: total - w + 1] == doc_id[w - 1 :]
+        vw = win[valid]
+        acc = np.zeros(len(vw), dtype=np.uint64)
+        for j in range(w):
+            acc = acc * _FP_BASE + vw[:, j]
+        vdoc = doc_id[: total - w + 1][valid]
+        starts = np.concatenate([[0], np.flatnonzero(vdoc[1:] != vdoc[:-1]) + 1])
+        mins = np.minimum.reduceat(acc, starts)
+        out[vdoc[starts]] = mins.view(np.int64)
+
+    # short docs (1 <= n < _FP_WINDOW): a single whole-doc window each,
+    # bucketed by token count
+    for w in range(1, _FP_WINDOW):
+        sel = tok_counts == w
+        if not sel.any():
+            continue
+        mat = th[doc_start[sel][:, None] + np.arange(w)[None, :]]
+        acc = np.zeros(sel.sum(), dtype=np.uint64)
+        for j in range(w):
+            acc = acc * _FP_BASE + mat[:, j]
+        out[sel] = acc.view(np.int64)
+    return out
+
+
 def doc_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Winnowing-style fingerprint: Karp-Rabin rolling hash over token windows,
     fingerprint = min window hash (robust to local edits outside the min)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = np.zeros(len(pdf), dtype=np.int64)
-            for i, t in enumerate(pdf[text_col]):
-                toks = (t or "").lower().split()
-                # murmur per token (Python's hash() is salted per process)
-                h1, _, valid = murmur3_bytes_batch(
-                    [w.encode("utf-8") for w in toks], seed=9001
-                )
-                th = h1[valid]
-                if len(th) == 0:
-                    continue
-                w = min(_FP_WINDOW, len(th))
-                acc = np.zeros(len(th) - w + 1, dtype=np.uint64)
-                for j in range(w):
-                    acc = acc * _FP_BASE + th[j : j + len(acc)]
-                out[i] = int(acc.min().view(np.int64))
-            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "fingerprint": out})
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "fingerprint": _fingerprint_batch(list(pdf[text_col])),
+                }
+            )
 
     return df.select(id_col, text_col).mapInPandas(run, schema=FP_SCHEMA)

@@ -29,8 +29,12 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from datasketches_pig_spark.functions.murmur3 import murmur3_x64_128_fixed
-from datasketches_pig_spark.operators.signatures import band_hashes, minhash_signatures, simhash64
+from datasketches_pig_spark.operators.signatures import (
+    band_hashes,
+    minhash_signatures,
+    simhash64,
+    word_ngram_hash_sets,
+)
 
 
 def tokens_expr(text_col: str):
@@ -53,14 +57,55 @@ def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
     return grams.distinct()
 
 
-def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    assume_collision_free: bool = False,
+) -> DataFrame:
     """Exact duplicate mapping on normalized text: every doc → canonical
-    (min id with identical normalized text).  Pure groupBy — the cheapest
-    dedup pass; at 100 TB this is one shuffle on a 64-bit text hash."""
+    (min id with identical normalized text).
+
+    Default path: exactly ONE exchange — a window min over
+    ``(xxhash64(norm), norm)``: the document body crosses the wire once and
+    is never joined back; grouping includes the full text, so hash
+    collisions are harmless (the hash only cheapens the sort comparator —
+    8-byte prefix before any string compare).  Caveat: a text duplicated
+    10^9 times is one window group = one (spillable) task; that regime is
+    what the fast path below is for.
+
+    ``assume_collision_free=True`` is the 100 TB fast path: key on a 128-bit
+    composite (two independent xxhash64 streams + normalized length) and
+    never shuffle text at all — ~24 B/row, map-side partial aggregation
+    collapsing mass-duplicated texts before the exchange.  Collision odds at
+    10^12 docs are < 1e-14 (birthday bound over 2^128), the standard
+    content-addressable dedup contract — recommended in production.
+    """
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
-    keyed = df.select(F.col(id_col).alias("doc_id"), norm.alias("__norm"))
-    canon = keyed.groupBy("__norm").agg(F.min("doc_id").alias("canonical_id"))
-    return keyed.join(canon, "__norm").select("doc_id", "canonical_id")
+    if assume_collision_free:
+        keyed = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.xxhash64(norm).alias("__h1"),
+            F.xxhash64(F.lit("dsps-h2"), norm).alias("__h2"),
+            F.length(norm).alias("__len"),
+        )
+        canon = keyed.groupBy("__h1", "__h2", "__len").agg(
+            F.min("doc_id").alias("canonical_id")
+        )
+        return keyed.join(canon, ["__h1", "__h2", "__len"]).select(
+            "doc_id", "canonical_id"
+        )
+    from pyspark.sql import Window
+
+    keyed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.xxhash64(norm).alias("__h"),
+        norm.alias("__norm"),
+    )
+    w = Window.partitionBy("__h", "__norm")
+    return keyed.select(
+        "doc_id", F.min("doc_id").over(w).alias("canonical_id")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -119,36 +164,14 @@ def minhash_stage(
     num_perm: int = 128,
     seed: int = 9001,
 ) -> DataFrame:
-    """(id, minhash, simhash, n_shingles) via the vectorized murmur kernel
-    over word n-grams — one Arrow pass, no shuffle."""
+    """(id, minhash, simhash, n_shingles) via the flat-array shingle kernel
+    (``word_ngram_hash_sets``: batch tokenize → token murmur → window-of-
+    token-hashes gram murmur → one lexsort dedup) — one Arrow pass, no
+    shuffle, no per-doc Python loop."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sets: list[np.ndarray] = []
-            for t in pdf[text_col]:
-                toks = (t or "").lower().split()
-                grams = {
-                    " ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))
-                }
-                if not grams:
-                    sets.append(np.empty(0, dtype=np.uint64))
-                    continue
-                raw = sorted(g.encode("utf-8") for g in grams)
-                by_len: dict[int, list[bytes]] = {}
-                for r in raw:
-                    by_len.setdefault(len(r), []).append(r)
-                hs = []
-                for length, items in by_len.items():
-                    buf = np.frombuffer(b"".join(items), dtype=np.uint8).reshape(
-                        len(items), length
-                    )
-                    h1, _ = murmur3_x64_128_fixed(buf, seed)
-                    hs.append(h1)
-                sets.append(np.unique(np.concatenate(hs)))
-            counts = np.array([len(s) for s in sets], dtype=np.int64)
-            concat = (
-                np.concatenate(sets) if counts.sum() else np.empty(0, dtype=np.uint64)
-            )
+            concat, counts = word_ngram_hash_sets(list(pdf[text_col]), n, seed)
             mh = minhash_signatures(concat, counts, num_perm, seed)
             sh = simhash64(concat, counts)
             yield pd.DataFrame(
@@ -214,10 +237,21 @@ def minhash_dedup_pairs(
     seed: int = 9001,
 ) -> DataFrame:
     """MinHash-LSH candidates, exact-verified by a shingle join restricted to
-    candidates (the scale path: quadratic work only inside LSH buckets)."""
+    candidates (the scale path: quadratic work only inside LSH buckets).
+
+    The verify pass only ever shingles documents that appear in some
+    candidate pair (semi-join pushdown into the source scan): Jaccard needs
+    |A|, |B|, |A∩B| for candidate docs only, so at corpus scale the exact
+    verify costs O(candidates), not O(corpus)."""
     sigs = minhash_stage(df, id_col, text_col, n, num_perm, seed)
     cands = minhash_lsh_candidates(sigs, seed=seed).localCheckpoint()
-    grams = word_ngrams(df, id_col, text_col, n).localCheckpoint()
+    cand_ids = (
+        cands.select(F.col("a").alias(id_col))
+        .unionByName(cands.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = df.join(cand_ids, id_col, "left_semi")
+    grams = word_ngrams(cand_docs, id_col, text_col, n).localCheckpoint()
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     ga = grams.select(F.col("id").alias("a"), "shingle")
     gb = grams.select(F.col("id").alias("b"), "shingle")

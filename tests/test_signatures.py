@@ -194,3 +194,92 @@ def test_kmv_jaccard_batch_matches_scalar():
         k,
     )
     np.testing.assert_allclose(got, np.array(expected), rtol=0, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# flat word-shingle kernel (word_ngram_hash_sets / flat_token_hashes)
+# ---------------------------------------------------------------------------
+
+WORD_TEXTS = [
+    "The quick brown fox jumps over the lazy dog",
+    "",
+    None,
+    "one two",            # < n tokens → no grams
+    "single",
+    "a  b\tc\nd e f g h i j k l",      # mixed whitespace, > 8 tokens
+    "dup dup dup dup dup",             # repeated grams collapse to one
+    "Ünïcode tökens här okay",         # multibyte utf-8 tokens
+]
+
+
+def _scalar_gram_set(t, n=3, seed=9001):
+    from datasketches_pig_spark.functions.murmur3 import murmur3_x64_128
+
+    toks = (t or "").lower().encode("utf-8").split()
+    th = [murmur3_x64_128(w, seed)[0] for w in toks]
+    return sorted(
+        {
+            murmur3_x64_128(
+                b"".join(int(h).to_bytes(8, "little") for h in th[i : i + n]),
+                seed,
+            )[0]
+            for i in range(max(len(th) - n + 1, 0))
+        }
+    )
+
+
+def test_word_ngram_hash_sets_matches_scalar_spec():
+    """The flat batch kernel (one lexsort, no per-doc loop) must reproduce
+    the scalar hash-of-token-hashes replication doc by doc — the same
+    contract the VALUES oracles are generated from."""
+    from datasketches_pig_spark.operators.signatures import word_ngram_hash_sets
+
+    gs, counts = word_ngram_hash_sets(WORD_TEXTS, 3, 9001)
+    assert counts.sum() == len(gs)
+    pos = 0
+    for i, t in enumerate(WORD_TEXTS):
+        want = _scalar_gram_set(t)
+        got = np.sort(gs[pos : pos + counts[i]])
+        pos += counts[i]
+        assert counts[i] == len(want)
+        assert np.array_equal(got, np.array(want, dtype=np.uint64))
+    # empty / short / None docs really contribute zero grams
+    assert counts[1] == counts[2] == counts[3] == 0
+
+
+def test_flat_token_hashes_token_identity():
+    """A token's hash must equal the murmur of its lowercased utf-8 bytes
+    regardless of which document or batch position it sits in."""
+    from datasketches_pig_spark.functions.murmur3 import murmur3_x64_128
+    from datasketches_pig_spark.operators.signatures import flat_token_hashes
+
+    th, counts = flat_token_hashes(["Alpha beta", None, "beta GAMMA alpha"], 9001)
+    assert counts.tolist() == [2, 0, 3]
+    toks = [b"alpha", b"beta", b"beta", b"gamma", b"alpha"]
+    want = [murmur3_x64_128(w, 9001)[0] for w in toks]
+    assert th.tolist() == want
+
+
+def test_fingerprint_batch_matches_scalar_spec():
+    from datasketches_pig_spark.functions.murmur3 import murmur3_x64_128
+    from datasketches_pig_spark.textops.analysis import _fingerprint_batch
+
+    BASE, MASK = 1000003, (1 << 64) - 1
+
+    def scalar_fp(t):
+        toks = (t or "").lower().encode("utf-8").split()
+        th = [murmur3_x64_128(w, 9001)[0] for w in toks]
+        if not th:
+            return 0
+        w = min(8, len(th))
+        best = None
+        for p in range(len(th) - w + 1):
+            acc = 0
+            for j in range(w):
+                acc = (acc * BASE + int(th[p + j])) & MASK
+            best = acc if best is None else min(best, acc)
+        return best - (1 << 64) if best >= (1 << 63) else best
+
+    texts = WORD_TEXTS + ["t " * 200, "exactly eight tokens one two three four five"]
+    got = _fingerprint_batch(texts)
+    assert got.tolist() == [scalar_fp(t) for t in texts]

@@ -36,6 +36,25 @@ def test_exact_dedup(spark, docs):
     assert out.loc[2, "canonical_id"] == 2  # near-dup is NOT exact
 
 
+def test_exact_dedup_plan_and_fast_path(spark, docs):
+    """Default path must exchange exactly once (window over (hash, text));
+    the collision-free fast path must agree and never exchange on a string
+    column — the 100 TB contract from the docstring."""
+    import re
+
+    from datasketches_pig_spark.textops.dedup import exact_dedup
+
+    out = exact_dedup(docs, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    fast = exact_dedup(docs, "doc_id", "text", assume_collision_free=True)
+    fplan = fast._jdf.queryExecution().executedPlan().toString()
+    for line in fplan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "__norm" not in line and "text" not in line
+    assert set(map(tuple, out.collect())) == set(map(tuple, fast.collect()))
+
+
 def test_ngram_jaccard_pairs(spark, docs):
     from datasketches_pig_spark.textops.dedup import ngram_jaccard_pairs
 

@@ -26,8 +26,9 @@ MASK = (1 << 64) - 1
 
 
 def fingerprint(text: str) -> int:
-    toks = (text or "").lower().split()
-    th = [murmur3_x64_128(w.encode("utf-8"), 9001)[0] for w in toks]
+    # ASCII-whitespace byte tokens — the flat_token_hashes tokenizer contract
+    toks = (text or "").lower().encode("utf-8").split()
+    th = [murmur3_x64_128(w, 9001)[0] for w in toks]
     if not th:
         return 0
     w = min(WINDOW, len(th))

@@ -1,12 +1,16 @@
 """Generate the DuckDB oracle for the `dedup_simhash` query.
 
-Independent (Spark-free, scalar) replication: word 3-gram shingles →
-scalar-spec murmur3 (`murmur3_x64_128`, pytest-verified against the public
-reference vectors) → SimHash bit-majority (bit j set iff strictly more than
-half the shingle hashes have bit j set) → brute-force all-pairs Hamming ≤ 6.
-The production path runs the vectorized numpy kernel + Manku banded join
-instead, so this cross-checks both the fingerprint math and the banding
-completeness.  Output: VALUES list of the expected (a, b, hamming) rows.
+Independent (Spark-free, scalar) replication of the shingle-hash contract
+(`operators/signatures.py:word_ngram_hash_sets`): lowercased-utf8 ASCII-
+whitespace tokens → scalar-spec murmur3 per token (`murmur3_x64_128`,
+pytest-verified against the public reference vectors) → word-3-gram hash =
+scalar murmur3 over the 24-byte little-endian concat of the three token
+hashes → distinct gram hashes → SimHash bit-majority (bit j set iff strictly
+more than half the gram hashes have bit j set) → brute-force all-pairs
+Hamming ≤ 6.  The production path runs the vectorized flat-array kernel +
+Manku banded join instead, so this cross-checks both the fingerprint math
+and the banding completeness.  Output: VALUES list of the expected
+(a, b, hamming) rows.
 
 Usage: python tools/gen_simhash_oracle.py [sf_dir]   # prints the SQL
 """
@@ -28,9 +32,14 @@ SEED = 9001
 
 
 def simhash(text: str) -> int:
-    toks = (text or "").lower().split()
-    grams = {" ".join(toks[i : i + N]) for i in range(max(len(toks) - N + 1, 0))}
-    hs = {murmur3_x64_128(g.encode("utf-8"), SEED)[0] for g in grams}
+    toks = (text or "").lower().encode("utf-8").split()
+    th = [murmur3_x64_128(w, SEED)[0] for w in toks]
+    hs = {
+        murmur3_x64_128(
+            b"".join(h.to_bytes(8, "little") for h in th[i : i + N]), SEED
+        )[0]
+        for i in range(max(len(th) - N + 1, 0))
+    }
     if not hs:
         return 0
     fp = 0
