@@ -283,6 +283,34 @@ def word_ngram_hash_sets(
     return gs, counts
 
 
+def simhash_combo_keys_np(sim: np.ndarray, max_hamming: int) -> np.ndarray:
+    """(n,) int64 simhash fingerprints → (n, C(h+3,3)) int64 Manku combo
+    keys, vectorized (the numpy twin of the codegen
+    ``textops.dedup._simhash_combo_keys`` — same key values, computed inside
+    the Arrow pass so the query plan never carries a C(h+3,3)-expression
+    projection; at h=6 that is 84 expressions whose codegen compile dwarfs
+    the data time at bench scale)."""
+    from itertools import combinations
+
+    n_blocks = max_hamming + 3
+    base, extra = divmod(64, n_blocks)
+    bits = tuple(base + (1 if i < extra else 0) for i in range(n_blocks))
+    offs = tuple(sum(bits[:i]) for i in range(n_blocks))
+    key_bits = 3 * max(bits)
+    s = np.asarray(sim, dtype=np.int64).view(U64)
+    combos = list(combinations(range(n_blocks), 3))
+    out = np.empty((len(s), len(combos)), dtype=U64)
+    for idx, combo in enumerate(combos):
+        key = np.zeros(len(s), dtype=U64)
+        shift = 0
+        for b in combo:
+            blk = (s >> U64(offs[b])) & U64((1 << bits[b]) - 1)
+            key += blk << U64(shift)
+            shift += bits[b]
+        out[:, idx] = key + (U64(idx) << U64(key_bits + 1))
+    return out.view(np.int64)
+
+
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Vectorized popcount of XOR for int64/uint64 arrays."""
     x = (np.asarray(a).astype(np.int64).view(U64) ^ np.asarray(b).astype(np.int64).view(U64))

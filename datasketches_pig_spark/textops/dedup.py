@@ -333,23 +333,45 @@ def simhash_near_pairs(
     and pair recall above the cap is approximate (a missed pair must land
     over-cap in *every* one of its ≥ 1 shared combos).  Larger h widens the
     guarantee but multiplies band rows by C(h+3,3) and coarsens keys; h ≤ 3
-    is the recommended 100 TB setting."""
+    is the recommended 100 TB setting.
+
+    The C(h+3,3) combo keys are computed INSIDE the signature Arrow pass
+    (``simhash_combo_keys_np``) and leave it as one array column — the plan
+    explodes an array instead of evaluating (and codegen-compiling) 84
+    shift/mask expressions per row at h=6."""
     from datasketches_pig_spark.operators.lsh import bucket_pairs
+    from datasketches_pig_spark.operators.signatures import (
+        simhash64,
+        simhash_combo_keys_np,
+        word_ngram_hash_sets,
+    )
 
     # zero-shingle docs (empty/whitespace/null text) all fingerprint to 0 and
     # would pair as mutual "near dups"; they are the exact-dedup path's
     # business, same contract as minhash_lsh_candidates
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            concat, counts = word_ngram_hash_sets(list(pdf[text_col]), n, seed)
+            sh = simhash64(concat, counts)
+            keys = simhash_combo_keys_np(sh, max_hamming)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "simhash": sh,
+                    "n_shingles": counts.astype(np.int32),
+                    "ckeys": list(keys),
+                }
+            )
+
     sigs = (
-        minhash_stage(df, id_col, text_col, n, num_perm=8, seed=seed)
+        df.select(id_col, text_col)
+        .mapInPandas(
+            run, "id long, simhash long, n_shingles int, ckeys array<long>"
+        )
         .filter(F.col("n_shingles") > 0)
         .localCheckpoint()
     )
-    chunks = sigs.select(
-        "id",
-        F.explode(
-            F.array(*_simhash_combo_keys(F.col("simhash"), max_hamming))
-        ).alias("ckey"),
-    )
+    chunks = sigs.select("id", F.explode("ckeys").alias("ckey"))
     cand = bucket_pairs(chunks, "ckey", "id", cap=bucket_cap).distinct()
     sa = sigs.select(F.col("id").alias("a"), F.col("simhash").alias("sim_a"))
     sb = sigs.select(F.col("id").alias("b"), F.col("simhash").alias("sim_b"))

@@ -283,3 +283,24 @@ def test_fingerprint_batch_matches_scalar_spec():
     texts = WORD_TEXTS + ["t " * 200, "exactly eight tokens one two three four five"]
     got = _fingerprint_batch(texts)
     assert got.tolist() == [scalar_fp(t) for t in texts]
+
+
+def test_simhash_combo_keys_np_matches_codegen(spark):
+    """The Arrow-pass numpy combo keys must equal the codegen expression
+    form bit for bit (both remain in the tree; the banding guarantee rests
+    on identical key values)."""
+    import pyspark.sql.functions as F
+
+    from datasketches_pig_spark.operators.signatures import simhash_combo_keys_np
+    from datasketches_pig_spark.textops.dedup import _simhash_combo_keys
+
+    rng = np.random.RandomState(7)
+    sims = rng.randint(-(2**63), 2**63 - 1, size=100, dtype=np.int64)
+    for h in (3, 6):
+        df = spark.createDataFrame([(int(s),) for s in sims], "simhash long")
+        got_sql = np.array(
+            df.select(
+                F.array(*_simhash_combo_keys(F.col("simhash"), h)).alias("k")
+            ).toPandas()["k"].tolist()
+        )
+        assert np.array_equal(got_sql, simhash_combo_keys_np(sims, h))

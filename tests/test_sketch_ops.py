@@ -192,3 +192,172 @@ def test_reservoir_union_exact_and_sampled(spark):
 
     with pytest.raises(ValueError):
         reservoir_union(partials, k=1)
+
+
+def test_grouped_varopt_bounded_hot_group(spark):
+    """Grouped VarOpt must survive a hot group without materializing it in
+    one pandas frame: per-(partition, group) partials bounded at k, then a
+    bounded merge.  Check the VarOpt invariants that hold regardless of the
+    split: exactly k rows per oversized group, total adjusted weight per
+    group EXACTLY conserved, heavy items kept with their own weight."""
+    import pyspark.sql.functions as F
+
+    from datasketches_pig_spark.sketch.sampling import varopt_sample
+
+    df = (
+        spark.range(20000)
+        .repartition(8)  # force multi-partition partials per group
+        .withColumn("g", (F.col("id") % 2).cast("int"))
+        .withColumn("w", (F.col("id") % 97 + 1).cast("double"))
+    )
+    # plant a heavy item per group
+    df = df.withColumn(
+        "w", F.when(F.col("id") < 2, F.lit(1e6)).otherwise(F.col("w"))
+    )
+    out = varopt_sample(df, k=50, weight_col="w", group_cols=["g"]).toPandas()
+    truth = df.toPandas()
+    for g in (0, 1):
+        got = out[out.g == g]
+        assert len(got) == 50
+        want_total = truth[truth.g == g].w.sum()
+        assert got.vo_weight.sum() == pytest.approx(want_total, rel=1e-9)
+        heavy = got[got.id < 2]
+        assert len(heavy) == 1 and heavy.iloc[0].vo_weight == pytest.approx(1e6)
+    # plan shape: the partial stage is a narrow mapInPandas, the only
+    # applyInPandas group-by runs over the bounded partials
+    plan = varopt_sample(
+        df, k=50, weight_col="w", group_cols=["g"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "MapInPandas" in plan
+
+
+def test_grouped_reservoir_two_level_exact_k(spark):
+    """Two-level grouped reservoir: exactly k per oversized group, all k
+    distinct and from the group; n <= k groups returned whole (the
+    reference's shortcut)."""
+    import pyspark.sql.functions as F
+
+    from datasketches_pig_spark.sketch.sampling import reservoir_sample
+
+    df = (
+        spark.range(5000)
+        .repartition(8)
+        .withColumn("g", (F.col("id") % 3).cast("int"))
+    )
+    small = spark.range(3).withColumn("g", F.lit(99).cast("int"))
+    out = reservoir_sample(df.unionByName(small), k=40, group_cols=["g"]).toPandas()
+    for g in (0, 1, 2):
+        got = out[out.g == g]
+        assert len(got) == 40 and got.id.is_unique
+        assert (got.id % 3 == g).all()
+    assert sorted(out[out.g == 99].id) == [0, 1, 2]
+
+
+def test_mixed_k_reservoir_union_uses_min_k(spark):
+    """ReservoirUnion.java:48 — merging states with different ks degrades to
+    the MINIMUM valid k (per group)."""
+    import pyspark.sql.functions as F
+
+    from datasketches_pig_spark.sketch.sampling import (
+        reservoir_state,
+        reservoir_union_states,
+    )
+
+    df = spark.range(600).withColumn("g", (F.col("id") % 2).cast("int"))
+    a = reservoir_state(df.filter(F.col("id") < 300), 30, ["g"])
+    b = reservoir_state(df.filter(F.col("id") >= 300), 200, ["g"])
+    assert "k" in a.columns
+    merged = reservoir_union_states(a.unionByName(b), k=None, group_cols=["g"])
+    counts = merged.groupBy("g").count().toPandas().set_index("g")["count"]
+    # per group: state a retains min(150, 30)=30, state b min(150, 200)=150;
+    # merge under k_min=30 keeps exactly 30
+    assert counts[0] == counts[1] == 30
+    # ungrouped min-k merge too
+    a2 = reservoir_state(df.filter(F.col("id") < 300), 30)
+    b2 = reservoir_state(df.filter(F.col("id") >= 300), 200)
+    m2 = reservoir_union_states(a2.unionByName(b2), k=None)
+    assert m2.count() == 30
+    # legacy states without a k column must fail loudly for k=None
+    with pytest.raises(ValueError, match="mixed-k"):
+        reservoir_union_states(a.drop("k").unionByName(b.drop("k")), k=None)
+
+
+def test_mixed_k_varopt_union_uses_max_k(spark):
+    """VarOptUnion.java:40-42 — merging states with different ks keeps the
+    LARGEST valid k, and total adjusted weight stays conserved."""
+    import pyspark.sql.functions as F
+
+    from datasketches_pig_spark.sketch.sampling import (
+        varopt_state,
+        varopt_union_states,
+    )
+
+    df = (
+        spark.range(600)
+        .withColumn("g", (F.col("id") % 2).cast("int"))
+        .withColumn("w", (F.col("id") % 7 + 1).cast("double"))
+    )
+    a = varopt_state(df.filter(F.col("id") < 300), 40, "w", ["g"])
+    b = varopt_state(df.filter(F.col("id") >= 300), 500, "w", ["g"])
+    merged = varopt_union_states(a.unionByName(b), k=None, group_cols=["g"])
+    got = merged.toPandas()
+    truth = df.toPandas()
+    for g in (0, 1):
+        # a retains min(150,40)=40 rows, b all 150; union of 190 fits k=500
+        assert len(got[got.g == g]) == 190
+        assert got[got.g == g].vo_weight.sum() == pytest.approx(
+            truth[truth.g == g].w.sum(), rel=1e-9
+        )
+    with pytest.raises(ValueError, match="mixed-k"):
+        varopt_union_states(a.drop("k").unionByName(b.drop("k")), k=None)
+
+
+def test_double_summary_modes(spark):
+    """DoubleSummary.Mode analog: per-key Sum / Min / Max; bad mode fails
+    loudly (reference contract: the mode enum is closed)."""
+    from datasketches_pig_spark.sketch.tuple_sketch import double_summary_sketch
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a", "b"], "v": [1.0, 5.0, 2.0]})
+    )
+    got = {
+        m: double_summary_sketch(df, "k", "v", mode=m)
+        .toPandas()
+        .set_index("key")[f"{m}_v"]
+        .to_dict()
+        for m in ("sum", "min", "max")
+    }
+    assert got["sum"] == {"a": 6.0, "b": 2.0}
+    assert got["min"] == {"a": 1.0, "b": 2.0}
+    assert got["max"] == {"a": 5.0, "b": 2.0}
+    with pytest.raises(ValueError, match="mode"):
+        double_summary_sketch(df, "k", "v", mode="median")
+
+
+def test_theta_sketch_state_roundtrip_and_union(spark, tmp_path):
+    """Cross-job theta state: per-group sketches persist to parquet
+    (array<long> is a plain column), read back, and union across jobs —
+    exact in exact mode (retained < k), the theta.Union + PigUtil analog."""
+    import pyspark.sql.functions as F
+
+    from datasketches_pig_spark.sketch.theta import (
+        theta_estimate,
+        theta_sketch_agg,
+        theta_union_agg,
+    )
+
+    df = spark.range(3000).withColumn("g", (F.col("id") % 3).cast("int"))
+    d1 = df.filter(F.col("id") % 2 == 0)
+    d2 = df.filter(F.col("id") % 2 == 1)
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    theta_sketch_agg(d1, ["g"], "id", 4096).write.parquet(p1)
+    theta_sketch_agg(d2, ["g"], "id", 4096).write.parquet(p2)
+    states = spark.read.parquet(p1).unionByName(spark.read.parquet(p2))
+    merged = theta_union_agg(states, ["g"], "sketch", 4096)
+    out = (
+        merged.select("g", theta_estimate("sketch", 4096).alias("est"))
+        .toPandas()
+        .set_index("g")["est"]
+    )
+    assert all(out[g] == 1000.0 for g in (0, 1, 2))

@@ -320,3 +320,16 @@ def test_minhash_unicode_identical_docs_pair(spark):
     pairs = dd.minhash_dedup_pairs(docs, "doc_id", "text", n=3, threshold=0.8).collect()
     assert [(r["a"], r["b"]) for r in pairs] == [(0, 1)]
     assert pairs[0]["jaccard"] == 1.0
+
+
+def test_ngram_jaccard_hot_shingle_pruning_flag(spark, docs):
+    """Default is exact (no shingle dropped); max_doc_freq prunes shingles
+    shared by more docs than the cap — the explicit corpus-scale opt-in."""
+    from datasketches_pig_spark.textops.dedup import ngram_jaccard_pairs
+
+    exact = ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).toPandas()
+    # cap=1 drops every co-shingled gram → no pair can survive
+    pruned = ngram_jaccard_pairs(
+        docs, "doc_id", "text", 3, 0.5, max_doc_freq=1
+    ).toPandas()
+    assert len(exact) > 0 and len(pruned) == 0
