@@ -298,3 +298,63 @@ def test_streaming_ingest_dedup_matches_from_scratch(spark, tmp_path):
     sink = spark.read.parquet(str(tmp_path / "assign_out"))
     assert sink.select("batch_id").distinct().count() == 2
     assert sink.count() == len(b1) + len(b2)
+
+
+def test_streaming_ingest_transcript_store_plumbing(spark, tmp_path):
+    """With a transcript_store path configured, each micro-batch appends its
+    (clip_id, transcript) rows and later batches read the store back for the
+    cross-batch substring check (the batch-equivalent verify contract)."""
+    import pyspark.sql.functions as F
+
+    from datasketches_pig_spark.config import DedupConfig
+    from datasketches_pig_spark.data.clips import generate_clips_pandas
+    from datasketches_pig_spark.incremental import save_history
+    from datasketches_pig_spark.pipeline import run_pipeline
+    from datasketches_pig_spark.streaming.ingest import streaming_ingest_dedup
+
+    cfg = DedupConfig()
+    clips_pdf, _, _ = generate_clips_pandas(12, seed=77)
+    order = sorted(clips_pdf["clip_id"])
+    n = len(order)
+    hist_ids = set(order[: n // 2])
+    b1_ids = set(order[n // 2 : 3 * n // 4])
+    hist = clips_pdf[clips_pdf["clip_id"].isin(hist_ids)]
+    b1 = clips_pdf[clips_pdf["clip_id"].isin(b1_ids)]
+    b2 = clips_pdf[~clips_pdf["clip_id"].isin(hist_ids | b1_ids)]
+
+    for t in ("ts_signatures", "ts_band_buckets", "ts_clusters"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    r0 = run_pipeline(spark, spark.createDataFrame(hist), cfg)
+    save_history(
+        spark, r0.stage_frames["signatures"], r0.clusters, cfg,
+        str(tmp_path / "hist"), "ts", num_buckets=8,
+    )
+
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    tstore = str(tmp_path / "transcripts")
+    schema = spark.createDataFrame(clips_pdf).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = streaming_ingest_dedup(
+        spark, stream, cfg, "ts", str(tmp_path / "hist"),
+        str(tmp_path / "assign_out"), str(tmp_path / "ckpt"),
+        transcript_store=tstore,
+    )
+    try:
+        spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        store_after_b1 = spark.read.parquet(tstore)
+        assert sorted(r["clip_id"] for r in store_after_b1.collect()) == sorted(
+            b1["clip_id"]
+        )
+        spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    store = spark.read.parquet(tstore).toPandas()
+    assert sorted(store["clip_id"]) == sorted(list(b1["clip_id"]) + list(b2["clip_id"]))
+    # transcripts round-trip byte-identically (the substring check's input)
+    want = clips_pdf.set_index("clip_id")["transcript"]
+    got = store.set_index("clip_id")["transcript"]
+    assert all(got[cid] == want[cid] for cid in store["clip_id"])
