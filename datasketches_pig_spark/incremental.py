@@ -97,6 +97,100 @@ def save_history(
     )
 
 
+def fold_history(
+    spark: SparkSession,
+    new_sigs: DataFrame,
+    assignments: DataFrame,
+    merges: DataFrame,
+    cfg: DedupConfig,
+    base_path: str,
+    table_prefix: str,
+) -> None:
+    """Fold one batch's state forward WITHOUT rewriting the signature
+    history (the O(batch) fold the ingest loop uses):
+
+    * signatures — APPENDED to the bucketed table (bucketBy append adds new
+      files per bucket; co-location for later verify joins is preserved —
+      ``tests/test_store.py`` plan contract)
+    * band-bucket summaries — merged sketch-style via
+      ``lsh.merge_bucket_summaries`` (old summaries + the batch's band rows
+      only; the historical band rows are never re-scanned) and rewritten —
+      O(#buckets) over the COMPACT store (~100 B/bucket), not O(history)
+    * clusters — merge map applied + batch assignments appended, rewritten
+      (2 narrow columns, small)
+
+    Per-batch IO is O(batch + buckets + cluster rows); the ~8 KB/clip
+    signature store — the dominant history volume — is append-only.  The
+    two rewrites are still non-atomic in parquet mode (a crash between them
+    needs a re-fold from the assignments sink); an Iceberg catalog makes
+    each a single atomic MERGE INTO/append commit."""
+    from datasketches_pig_spark.operators.lsh import merge_bucket_summaries
+
+    # how many buckets the existing tables use is a layout constant of the
+    # store; read it from the catalog rather than trusting a parameter
+    desc = spark.sql(f"DESCRIBE TABLE EXTENDED {table_prefix}_signatures").collect()
+    nb = 64
+    for r in desc:
+        if r["col_name"] == "Num Buckets":
+            nb = int(r["data_type"])
+    (
+        new_sigs.write.mode("append")
+        .bucketBy(nb, "clip_id")
+        .sortBy("clip_id")
+        .option("path", f"{base_path}/signatures")
+        .format("parquet")
+        .saveAsTable(f"{table_prefix}_signatures")
+    )
+    # the append may run on a CLONED session (streaming foreachBatch clones
+    # the SparkSession per micro-batch), which refreshes only the clone's
+    # cached file listing — without this the parent session (and the next
+    # micro-batch) keeps reading the pre-append file index and silently
+    # misses the new signatures
+    spark.catalog.refreshTable(f"{table_prefix}_signatures")
+
+    old_buckets = spark.table(f"{table_prefix}_band_buckets")
+    new_buckets = bucket_summaries(
+        all_bands(new_sigs, cfg), "band_key", "clip_id", cfg.max_bucket_size
+    )
+    merged_buckets = merge_bucket_summaries(
+        old_buckets, new_buckets, cfg.max_bucket_size
+    ).localCheckpoint()  # materialize BEFORE overwriting the table it reads
+    (
+        merged_buckets.write.mode("overwrite")
+        .bucketBy(nb, "band_key")
+        .sortBy("band_key")
+        .option("path", f"{base_path}/band_buckets")
+        .format("parquet")
+        .saveAsTable(f"{table_prefix}_band_buckets")
+    )
+    spark.catalog.refreshTable(f"{table_prefix}_band_buckets")
+
+    old_clusters = spark.table(f"{table_prefix}_clusters")
+    merge_map = F.broadcast(merges)
+    clusters = (
+        old_clusters.join(
+            merge_map, old_clusters.cluster_id == merges.old_cluster_id, "left"
+        )
+        .select(
+            "clip_id",
+            F.coalesce(merge_map.cluster_id, old_clusters.cluster_id).alias(
+                "cluster_id"
+            ),
+        )
+        .unionByName(assignments.select("clip_id", "cluster_id"))
+        .localCheckpoint()
+    )
+    (
+        clusters.write.mode("overwrite")
+        .bucketBy(nb, "clip_id")
+        .sortBy("clip_id")
+        .option("path", f"{base_path}/clusters")
+        .format("parquet")
+        .saveAsTable(f"{table_prefix}_clusters")
+    )
+    spark.catalog.refreshTable(f"{table_prefix}_clusters")
+
+
 @dataclass
 class IncrementalResult:
     assignments: DataFrame  # (clip_id, cluster_id) for the NEW batch

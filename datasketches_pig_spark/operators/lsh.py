@@ -216,6 +216,54 @@ def bucket_summaries(keyed: DataFrame, key: str, id_col: str, cap: int) -> DataF
     )
 
 
+def merge_bucket_summaries(old: DataFrame, new: DataFrame, cap: int) -> DataFrame:
+    """Merge two bucket-summary tables (full outer on band_key) WITHOUT
+    re-reading the raw band rows — bucket summaries are a mergeable sketch:
+
+    * ``bucket_n``   — exact counts add
+    * ``members``    — the smallest ``cap+1`` of the union of the two
+                       (each side keeps its smallest cap+1, so the merged
+                       smallest cap+1 is recoverable from samples alone)
+    * ``center``     — min member; preserved because each side's sample
+                       always contains its own minimum
+
+    Semantics equal a from-scratch ``bucket_summaries`` over all band rows
+    for every consumer: a bucket with merged ``bucket_n <= cap`` was
+    under-cap on both sides, so both member lists were complete and the
+    merged list is complete; an over-cap bucket is only ever consulted for
+    ``center``.  This is what makes an O(batch) incremental fold possible —
+    the band-row history is never re-scanned."""
+    o = old.select(
+        "band_key",
+        F.col("members").alias("__om"),
+        F.col("bucket_n").alias("__on"),
+    )
+    nw = new.select(
+        "band_key",
+        F.col("members").alias("__nm"),
+        F.col("bucket_n").alias("__nn"),
+    )
+    empty = F.array().cast(old.schema["members"].dataType.simpleString())
+    merged_members = F.slice(
+        F.array_sort(
+            F.concat(F.coalesce("__om", empty), F.coalesce("__nm", empty))
+        ),
+        1,
+        cap + 1,
+    )
+    return (
+        o.join(nw, "band_key", "full_outer")
+        .select(
+            "band_key",
+            merged_members.alias("members"),
+            (
+                F.coalesce("__on", F.lit(0)) + F.coalesce("__nn", F.lit(0))
+            ).alias("bucket_n"),
+        )
+        .withColumn("center", F.element_at("members", 1))
+    )
+
+
 def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     """(clip_id, band_key) → candidate (a, b) pairs with a < b (NOT distinct:
     the caller unions exact-dup pairs and dedupes once)."""

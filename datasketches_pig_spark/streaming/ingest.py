@@ -35,35 +35,22 @@ def _fold_batch_into_history(
 ) -> None:
     """Append the batch's state to the stores and apply old-cluster merges.
 
-    COST + ATOMICITY CONTRACT (parquet mode): this fold rewrites the full
-    history — signature union, bucket-summary recompute, cluster table — so
-    each micro-batch pays O(history) IO, and the overwrite is NOT atomic (a
-    crash mid-``save_history`` can leave a partially-written store; recover
-    by re-running the fold from the last good assignments sink).  That is
-    acceptable for bounded backfills and tests; a production 10^12-clip
-    firehose must use an Iceberg catalog, where the same fold is an atomic
-    MERGE INTO (touched band_keys / merged cluster ids only) plus append
-    commits — O(batch), not O(history).  The micro-batch itself is already
-    O(batch) (``incremental_dedup`` joins against the bucketed stores); only
-    this persistence fold differs between the two backends.
+    COST + ATOMICITY CONTRACT (parquet mode): per-batch IO is
+    O(batch + buckets + cluster rows) — ``incremental.fold_history``
+    APPENDS the batch's signatures to the bucketed store (the ~8 KB/clip
+    history volume is never rewritten) and merges band-bucket summaries
+    sketch-style from the old summaries plus the batch's band rows only
+    (``lsh.merge_bucket_summaries``).  The two small rewrites (compact
+    bucket summaries, 2-column cluster table) are still non-atomic in
+    parquet mode — a crash between them needs a re-fold from the last good
+    assignments sink; an Iceberg catalog makes each step one atomic
+    MERGE INTO / append commit with the same logical fold.
     """
-    from datasketches_pig_spark.incremental import all_bands, save_history
-    from datasketches_pig_spark.operators.lsh import bucket_summaries
+    from datasketches_pig_spark.incremental import fold_history
 
-    old_sigs = spark.table(f"{table_prefix}_signatures").localCheckpoint()
-    old_clusters = spark.table(f"{table_prefix}_clusters").localCheckpoint()
-
-    sigs = old_sigs.unionByName(new_sigs)
-    merge_map = F.broadcast(merges)
-    clusters = (
-        old_clusters.join(merge_map, old_clusters.cluster_id == merges.old_cluster_id, "left")
-        .select(
-            "clip_id",
-            F.coalesce(merge_map.cluster_id, old_clusters.cluster_id).alias("cluster_id"),
-        )
-        .unionByName(assignments)
-    ).localCheckpoint()
-    save_history(spark, sigs.localCheckpoint(), clusters, cfg, base_path, table_prefix)
+    fold_history(
+        spark, new_sigs, assignments, merges, cfg, base_path, table_prefix
+    )
 
 
 def streaming_ingest_dedup(

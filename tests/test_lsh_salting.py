@@ -99,3 +99,42 @@ def test_bucket_summaries_invariants(spark):
         assert len(r["members"]) <= 10
         if sz <= 10:
             assert list(r["members"]) == truth[key]
+
+
+def test_merge_bucket_summaries_semantics(spark):
+    """Sketch-style summary merge == from-scratch summaries for every
+    consumer-visible field: bucket_n and center always; complete members
+    when the merged bucket is under cap.  Covers old-only, new-only,
+    overlapping, and over-cap buckets, with long ids (the documents path)."""
+    import pyspark.sql.functions as F
+
+    from datasketches_pig_spark.operators.lsh import (
+        bucket_summaries,
+        merge_bucket_summaries,
+    )
+
+    cap = 4
+    # bucket 1: split across old/new, merged size 4 == cap (complete)
+    # bucket 2: old only; bucket 3: new only
+    # bucket 4: over cap combined (3 old + 3 new > 4) -> center only
+    old_rows = [(1, i) for i in (10, 11)] + [(2, 20)] + [(4, i) for i in (40, 41, 42)]
+    new_rows = [(1, i) for i in (12, 13)] + [(3, 30)] + [(4, i) for i in (38, 44, 45)]
+    old_b = spark.createDataFrame(old_rows, "band_key long, id long")
+    new_b = spark.createDataFrame(new_rows, "band_key long, id long")
+    merged = merge_bucket_summaries(
+        bucket_summaries(old_b, "band_key", "id", cap),
+        bucket_summaries(new_b, "band_key", "id", cap),
+        cap,
+    ).toPandas().set_index("band_key")
+    scratch = bucket_summaries(
+        old_b.unionByName(new_b), "band_key", "id", cap
+    ).toPandas().set_index("band_key")
+    assert sorted(merged.index) == sorted(scratch.index) == [1, 2, 3, 4]
+    for bk in (1, 2, 3, 4):
+        assert merged.loc[bk, "bucket_n"] == scratch.loc[bk, "bucket_n"]
+        assert merged.loc[bk, "center"] == scratch.loc[bk, "center"]
+        if scratch.loc[bk, "bucket_n"] <= cap:
+            assert sorted(merged.loc[bk, "members"]) == sorted(
+                scratch.loc[bk, "members"]
+            )
+    assert merged.loc[4, "center"] == 38  # min member arrived in the NEW side

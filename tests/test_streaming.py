@@ -299,6 +299,27 @@ def test_streaming_ingest_dedup_matches_from_scratch(spark, tmp_path):
     assert sink.select("batch_id").distinct().count() == 2
     assert sink.count() == len(b1) + len(b2)
 
+    # the incrementally-folded band store (append + sketch-style summary
+    # merge, never an O(history) band re-scan) must be semantically equal to
+    # a from-scratch bucket_summaries over ALL band rows: bucket_n and
+    # center always; the full member list whenever the bucket is under cap
+    from datasketches_pig_spark.incremental import all_bands
+    from datasketches_pig_spark.operators.lsh import bucket_summaries
+
+    cap = cfg.max_bucket_size
+    want_b = bucket_summaries(
+        all_bands(spark.table("sing_signatures"), cfg), "band_key", "clip_id", cap
+    ).toPandas().set_index("band_key")
+    got_b = spark.table("sing_band_buckets").toPandas().set_index("band_key")
+    assert sorted(got_b.index) == sorted(want_b.index)
+    for bk in want_b.index:
+        assert got_b.loc[bk, "bucket_n"] == want_b.loc[bk, "bucket_n"]
+        assert got_b.loc[bk, "center"] == want_b.loc[bk, "center"]
+        if want_b.loc[bk, "bucket_n"] <= cap:
+            assert sorted(got_b.loc[bk, "members"]) == sorted(
+                want_b.loc[bk, "members"]
+            )
+
 
 def test_streaming_ingest_transcript_store_plumbing(spark, tmp_path):
     """With a transcript_store path configured, each micro-batch appends its
