@@ -1118,6 +1118,39 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_sliding(spark, sf_dir):
+    """Sliding-window counts (streaming_sliding_counts' batch analog,
+    SURVEY §2.10): 1-hour windows sliding every 30 minutes — each event
+    lands in exactly two windows via F.window(ts, window, slide)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+        )
+    )
+
+
+SQL_EVENTS_SLIDING = """
+WITH slid AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS w, event_type FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type
+  FROM events
+)
+SELECT strftime(w, '%Y-%m-%d %H:%M') AS window_start, event_type,
+       COUNT(*) AS n
+FROM slid GROUP BY 1, 2
+"""
+
+
 def q_events_sessions(spark, sf_dir):
     """Sessionization analog: sessions = gaps > 30 min, per user (< 200)."""
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 200)
@@ -2106,6 +2139,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
         # --- entry 51+: variants whose operator already has an in-gate row ---
         "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
+        "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
         "setop_except": (q_setop_except, SQL_SETOP_EXCEPT),
         "reservoir_union": (q_reservoir_union, SQL_RESERVOIR_UNION),
         "varopt_union": (q_varopt_union, SQL_VAROPT_UNION),
