@@ -60,6 +60,27 @@ def main(history_dir: str, batch_groups: int = 2000) -> None:
     n_assigned = inc.assignments.count()
     inc_wall = time.time() - t0
 
+    # timed: the persistence fold — O(batch) append+summary-merge
+    # (incremental.fold_history) vs the legacy full-history rewrite
+    from datasketches_pig_spark.incremental import fold_history
+
+    a = inc.assignments.localCheckpoint()
+    m = inc.merges.localCheckpoint()
+    t0 = time.time()
+    fold_history(spark, inc.new_sigs, a, m, cfg, "/tmp/inc_bench_hist", "incb")
+    fold_wall = time.time() - t0
+
+    t0 = time.time()
+    save_history(
+        spark,
+        spark.table("incb_signatures").localCheckpoint(),
+        spark.table("incb_clusters").localCheckpoint(),
+        cfg,
+        "/tmp/inc_bench_hist_rewrite",
+        "incb_rw",
+    )
+    rewrite_wall = time.time() - t0
+
     # timed: from-scratch over history ∪ batch
     both = history.unionByName(batch)
     t0 = time.time()
@@ -75,6 +96,9 @@ def main(history_dir: str, batch_groups: int = 2000) -> None:
                 "incremental_wall_s": round(inc_wall, 2),
                 "from_scratch_wall_s": round(full_wall, 2),
                 "speedup": round(full_wall / inc_wall, 1),
+                "fold_append_wall_s": round(fold_wall, 2),
+                "fold_full_rewrite_wall_s": round(rewrite_wall, 2),
+                "fold_speedup": round(rewrite_wall / fold_wall, 1),
                 "batch_assigned": n_assigned,
                 "full_rows": n_full,
             }
