@@ -161,3 +161,46 @@ def test_reservoir_grouped_uniformity(spark):
     freq = hits / n_seeds
     assert abs(freq.mean() - 0.25) < 1e-9  # exactly k draws per seed
     assert freq.max() < 0.55 and freq.min() > 0.05  # no item starved/pinned
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.characters(blacklist_categories=("Cs",)),
+                max_size=60,
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(1, 4),
+)
+@settings(max_examples=25, deadline=None)
+def test_word_ngram_hash_sets_property_matches_scalar(texts, n):
+    """Flat batch shingle kernel == scalar replication for arbitrary unicode
+    inputs, any n — the contract the VALUES oracles rest on."""
+    from datasketches_pig_spark.functions.murmur3 import murmur3_x64_128
+    from datasketches_pig_spark.operators.signatures import word_ngram_hash_sets
+
+    gs, counts = word_ngram_hash_sets(texts, n, 9001)
+    assert counts.sum() == len(gs)
+    pos = 0
+    for i, t in enumerate(texts):
+        toks = (t or "").lower().encode("utf-8").split()
+        th = [murmur3_x64_128(w, 9001)[0] for w in toks]
+        want = sorted(
+            {
+                murmur3_x64_128(
+                    b"".join(int(h).to_bytes(8, "little") for h in th[j : j + n]),
+                    9001,
+                )[0]
+                for j in range(max(len(th) - n + 1, 0))
+            }
+        )
+        assert counts[i] == len(want)
+        got = sorted(gs[pos : pos + counts[i]].tolist())
+        assert got == [int(w) for w in want]
+        pos += counts[i]
+    assert pos == len(gs)
