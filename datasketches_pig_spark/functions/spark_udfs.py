@@ -114,3 +114,71 @@ def murmur3_128(col, seed: int = 9001, divisor: int | None = None) -> Column:
         return out
 
     return _udf(col)
+
+
+def register_sql_functions(
+    spark, prefix: str = "ds_", seed: int = 9001, divisor: int | None = None
+) -> list[str]:
+    """Register the hash UDF family for ``spark.sql(...)`` callers — the
+    Spark-SQL analog of the reference's Pig-script surface: Pig binds the
+    seed at DEFINE time (``DEFINE MurmurHash3
+    datasketches.pig.hash.MurmurHash3('9001')``) and scripts then call the
+    bound name; this binds seed/divisor at registration the same way.
+
+    Only the murmur family needs registration: every other operator here is
+    either plain relational SQL already (aggregations, set algebra,
+    windows) or a DataFrame-level operator with its own API.  Registered
+    (default prefix ``ds_``):
+
+    * ``ds_murmur3_h1(expr)``         → long (first 64 bits, null on empty)
+    * ``ds_murmur3_h1_ordered(expr)`` → long (sign-flipped: signed ORDER BY
+      == unsigned hash order — the KMV/theta storage form)
+    * ``ds_murmur3_128(expr)``        → struct<h0,h1,mod> (``mod`` is the
+      128-bit value modulo ``divisor`` — the Pig UDF's bucket-assignment
+      arg — or null when no divisor is bound)
+
+    Returns the registered names.
+    """
+
+    def _reg_h1(name: str, flip: bool):
+        @pandas_udf("long")
+        def _udf(s: pd.Series) -> pd.Series:
+            h1, _, valid = _hash_series(s, seed)
+            if flip:
+                h1 = h1 ^ SIGN_FLIP
+            out = pd.Series(pd.array(h1.view(np.int64), dtype="Int64"))
+            out[~valid] = pd.NA
+            return out
+
+        spark.udf.register(name, _udf)
+
+    _reg_h1(f"{prefix}murmur3_h1", flip=False)
+    _reg_h1(f"{prefix}murmur3_h1_ordered", flip=True)
+
+    @pandas_udf("struct<h0: long, h1: long, mod: int>")
+    def _udf128(s: pd.Series) -> pd.DataFrame:
+        h1, h2, valid = _hash_series(s, seed)
+        mod = np.zeros(len(s), dtype=np.int64)
+        if divisor:
+            mod = np.array(
+                [((int(b) << 64) | int(a)) % divisor for a, b in zip(h1, h2)],
+                dtype=np.int64,
+            )
+        out = pd.DataFrame(
+            {
+                "h0": pd.array(h1.view(np.int64), dtype="Int64"),
+                "h1": pd.array(h2.view(np.int64), dtype="Int64"),
+                "mod": pd.array(mod, dtype="Int32"),
+            }
+        )
+        out.loc[~valid, ["h0", "h1", "mod"]] = pd.NA
+        if not divisor:
+            out["mod"] = pd.NA
+        return out
+
+    spark.udf.register(f"{prefix}murmur3_128", _udf128)
+    return [
+        f"{prefix}murmur3_h1",
+        f"{prefix}murmur3_h1_ordered",
+        f"{prefix}murmur3_128",
+    ]

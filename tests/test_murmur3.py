@@ -163,3 +163,35 @@ def test_negative_zero_canonicalization(spark):
     sk = theta_sketch_agg(df, ["g"], "v", k=64)
     est = sk.select(theta_estimate("sketch", 64).alias("e")).collect()[0]["e"]
     assert est == 1.0
+
+
+def test_register_sql_functions_matches_column_api(spark):
+    """SQL-registered hash functions (the Pig DEFINE-surface analog) must
+    agree with the Column API and the scalar spec, including the bound
+    divisor and null-on-empty semantics."""
+    import pyspark.sql.functions as F
+
+    from datasketches_pig_spark.functions.murmur3 import murmur3_x64_128
+    from datasketches_pig_spark.functions.spark_udfs import (
+        murmur3_h1,
+        register_sql_functions,
+    )
+
+    names = register_sql_functions(spark, seed=9001, divisor=7)
+    assert names == ["ds_murmur3_h1", "ds_murmur3_h1_ordered", "ds_murmur3_128"]
+    df = spark.createDataFrame(
+        [("hello",), ("",), ("world",)], "s string"
+    )
+    df.createOrReplaceTempView("t_reg")
+    got = spark.sql(
+        "SELECT s, ds_murmur3_h1(s) AS h, ds_murmur3_128(s) AS full FROM t_reg"
+    ).collect()
+    by_s = {r["s"]: r for r in got}
+    want_h1, want_h2 = murmur3_x64_128(b"hello", 9001)
+    h_signed = want_h1 - (1 << 64) if want_h1 >= (1 << 63) else want_h1
+    assert by_s["hello"]["h"] == h_signed
+    assert by_s["hello"]["full"]["mod"] == ((want_h2 << 64) | want_h1) % 7
+    assert by_s[""]["h"] is None and by_s[""]["full"]["h0"] is None
+    # column API agreement
+    col = df.select("s", murmur3_h1(F.col("s")).alias("h")).collect()
+    assert {r["s"]: r["h"] for r in col} == {r["s"]: r["h"] for r in got}
