@@ -1190,6 +1190,14 @@ def q_dedup_exact(spark, sf_dir):
     return dd.exact_dedup(docs, "doc_id", "text")
 
 
+def q_dedup_exact_fast(spark, sf_dir):
+    """The 100 TB exact-dedup path (assume_collision_free=True: 128-bit
+    composite key, no text shuffle) against the same full-text-equality
+    oracle — demonstrating the scale path is result-identical."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs, "doc_id", "text", assume_collision_free=True)
+
+
 SQL_DEDUP_EXACT = """
 WITH keyed AS (
   SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
@@ -2140,6 +2148,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         # --- entry 51+: variants whose operator already has an in-gate row ---
         "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
         "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
+        "dedup_exact_fast": (q_dedup_exact_fast, SQL_DEDUP_EXACT),
         "setop_except": (q_setop_except, SQL_SETOP_EXCEPT),
         "reservoir_union": (q_reservoir_union, SQL_RESERVOIR_UNION),
         "varopt_union": (q_varopt_union, SQL_VAROPT_UNION),
