@@ -32,6 +32,8 @@ HEADLINE_QUERIES = [
     "events_sessions",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_exact",
+    "doc_fingerprint",
     "ann_cosine",
     "ann_ivf",
     "quality_score",
