@@ -121,3 +121,45 @@ def test_video_frame_sampling_and_near_pairs(spark):
     )
     with pytest.raises(PythonException, match="h264"):
         frame_sample_stage(bad).collect()
+
+
+def test_dhash_brightness_invariance_and_sensitivity():
+    """dHash is a horizontal-gradient sign hash: a uniform brightness shift
+    must not change it (the perceptual near-dup contract); flipping the
+    image must (different gradients)."""
+    import numpy as np
+
+    from datasketches_pig_spark.imageops.codecs import dhash64
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 200, size=(32, 48, 3), dtype=np.uint8)
+    brighter = np.clip(img.astype(np.int16) + 40, 0, 255).astype(np.uint8)
+    assert dhash64(img) == dhash64(brighter)
+    flipped = img[:, ::-1, :].copy()
+    assert dhash64(img) != dhash64(flipped)
+
+
+def test_frame_sample_stride_fanout(spark):
+    """A video row fans out to ceil(n_frames/stride) frame rows inside the
+    kernel — frame_idx is the source index, raw pixels never in the output."""
+    import numpy as np
+
+    from datasketches_pig_spark.videoops.frames import frame_sample_stage
+
+    rng = np.random.default_rng(3)
+    w, h, nf = 16, 12, 13
+    frames = rng.integers(0, 255, size=(nf, h, w, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(frames.tobytes()), "rawrgb", w, h)],
+        "video_id long, bytes binary, codec string, width int, height int",
+    )
+    for stride, want in ((5, [0, 5, 10]), (1, list(range(nf))), (13, [0])):
+        out = frame_sample_stage(df, stride=stride).toPandas()
+        assert sorted(out["frame_idx"]) == want
+        assert set(out.columns) == {
+            "video_id", "frame_idx", "dhash", "mean_gray", "std_gray"
+        }
+    import pytest
+
+    with pytest.raises(ValueError, match="stride"):
+        frame_sample_stage(df, stride=0)
