@@ -154,7 +154,6 @@ def reservoir_union_states(
     kcap = F.lit(k) if k is not None else F.col("__kmin")
     exploded = states.select(
         *keys,
-        *([] if k is not None else [F.col(k_col).alias("__k")]),
         F.col(n_col).alias("__n"),
         F.size(samples_col).alias("__sz"),
         F.explode(samples_col).alias("__s"),
