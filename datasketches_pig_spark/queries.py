@@ -1190,6 +1190,30 @@ def q_dedup_exact(spark, sf_dir):
     return dd.exact_dedup(docs, "doc_id", "text")
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Word-boundary substring containment dedup (the document-level form of
+    the suffix-array substring verifier): contained docs whose whole token
+    sequence appears contiguously in a longer doc — invisible to
+    Jaccard-threshold dedup (J ≈ |A|/|B|), found via rarest-anchor-shingle
+    candidates + JVM contains() verify."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.containment_dedup_pairs(docs, "doc_id", "text", n=3)
+
+
+SQL_DEDUP_CONTAINMENT = """
+WITH d AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+)
+SELECT a.doc_id AS contained_id, b.doc_id AS container_id
+FROM d a JOIN d b
+ON a.doc_id != b.doc_id
+   AND len(a.t) < len(b.t)
+   AND len(string_split(a.t, ' ')) >= 3
+   AND contains(' ' || b.t || ' ', ' ' || a.t || ' ')
+"""
+
+
 def q_dedup_exact_fast(spark, sf_dir):
     """The 100 TB exact-dedup path (assume_collision_free=True: 128-bit
     composite key, no text shuffle) against the same full-text-equality
@@ -2104,6 +2128,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "quality_score": (q_quality, _sql_quality()),
         "token_count": (q_token_count, SQL_TOKEN_COUNT),
         "doc_fingerprint": (q_fingerprint, SQL_DOC_FINGERPRINT),
+        "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
         # --- sketch-operator families (one query per reference operator) ---
         "theta_distinct": (q_theta_distinct, SQL_THETA_DISTINCT),
         "theta_union": (q_theta_union, SQL_THETA_UNION),
@@ -2121,7 +2146,6 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "kll_rank": (q_kll_rank, SQL_KLL_RANK),
         "quantiles_strings": (q_quantiles_strings, SQL_QUANTILES_STRINGS),
         "freq_items": (q_freq_items, SQL_FREQ_ITEMS),
-        "freq_events": (q_freq_events, SQL_FREQ_EVENTS),
         "freq_approx": (q_freq_approx, SQL_FREQ_APPROX),
         "freq_nfp": (q_freq_nfp, SQL_FREQ_NFP),
         "reservoir_shortcut": (q_reservoir_shortcut, SQL_RESERVOIR_SHORTCUT),
@@ -2149,6 +2173,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
         "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
         "dedup_exact_fast": (q_dedup_exact_fast, SQL_DEDUP_EXACT),
+        "freq_events": (q_freq_events, SQL_FREQ_EVENTS),
         "setop_except": (q_setop_except, SQL_SETOP_EXCEPT),
         "reservoir_union": (q_reservoir_union, SQL_RESERVOIR_UNION),
         "varopt_union": (q_varopt_union, SQL_VAROPT_UNION),

@@ -275,6 +275,76 @@ def minhash_dedup_pairs(
     )
 
 
+def containment_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_anchor_freq: int | None = None,
+) -> DataFrame:
+    """Partial-copy detection: (contained_id, container_id) pairs where the
+    shorter document's whole normalized token sequence appears contiguously
+    inside the longer one (word-boundary containment — the document-level
+    form of the pipeline's suffix-array substring verifier,
+    ``operators/verify.py:substring_containment``).
+
+    Containment pairs are invisible to Jaccard-threshold dedup (a quote
+    inside a 100× longer page has Jaccard ≈ |A|/|B| ≈ 0.01), so this is its
+    own operator family in a training-data pipeline (quotes, boilerplate
+    inclusion, partial scrapes).
+
+    Scale design — anchor-shingle candidates, not all-pairs: a contained
+    doc's every word n-gram is a word n-gram of its container (contiguous
+    token subsequence), so it suffices to join each doc's single RAREST
+    shingle (min global doc-frequency, ties by shingle value) against the
+    corpus shingle table: candidates per doc ≈ that minimum frequency,
+    which for any document with even one distinctive n-gram is tiny.  The
+    exact containment check then runs JVM-side (``contains`` on
+    space-padded normalized text) for candidates only.  Docs with fewer
+    than ``n`` tokens have no shingles and are excluded (their exact and
+    near duplicates are ``exact_dedup``/``minhash``'s business).
+
+    ``max_anchor_freq``: optional completeness/cost trade — docs whose
+    rarest shingle is still hotter than this (pure-boilerplate documents)
+    are skipped on the contained side.  Default None = complete.
+    """
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    docs = df.select(F.col(id_col).alias("id"), norm.alias("__norm"))
+    grams = word_ngrams(df, id_col, text_col, n)
+    freq = grams.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    gf = grams.join(freq, "shingle")
+    # min-of-struct, not a window: partial-aggregates map-side, so the
+    # rarest-shingle pick never single-tasks a shingle-heavy document
+    anchors = (
+        gf.groupBy("id")
+        .agg(F.min(F.struct("df", "shingle")).alias("m"))
+        .select("id", F.col("m.shingle").alias("shingle"), F.col("m.df").alias("df"))
+    )
+    if max_anchor_freq is not None:
+        anchors = anchors.filter(F.col("df") <= max_anchor_freq)
+    cand = (
+        anchors.select(F.col("id").alias("contained_id"), "shingle")
+        .join(
+            grams.select(F.col("id").alias("container_id"), "shingle"),
+            "shingle",
+        )
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .select("contained_id", "container_id")
+    )
+    da = docs.select(F.col("id").alias("contained_id"), F.col("__norm").alias("__na"))
+    db = docs.select(F.col("id").alias("container_id"), F.col("__norm").alias("__nb"))
+    pad = lambda c: F.concat(F.lit(" "), c, F.lit(" "))  # noqa: E731
+    return (
+        cand.join(da, "contained_id")
+        .join(db, "container_id")
+        .filter(
+            (F.length("__na") < F.length("__nb"))
+            & F.contains(pad(F.col("__nb")), pad(F.col("__na")))
+        )
+        .select("contained_id", "container_id")
+    )
+
+
 # Manku-style block keys (WWW'07 near-duplicate detection).  For a Hamming
 # budget h, split the 64 bits into h+3 blocks; any pair within Hamming <= h
 # leaves >= 3 blocks untouched, so it shares at least one choose(h+3, 3)

@@ -333,3 +333,37 @@ def test_ngram_jaccard_hot_shingle_pruning_flag(spark, docs):
         docs, "doc_id", "text", 3, 0.5, max_doc_freq=1
     ).toPandas()
     assert len(exact) > 0 and len(pruned) == 0
+
+
+def test_containment_dedup_planted(spark):
+    """Word-boundary containment pairs on a planted corpus: a quote inside a
+    much longer doc (Jaccard-invisible), a mid-word char-level overlap that
+    must NOT match, and short docs excluded."""
+    from datasketches_pig_spark.textops.dedup import containment_dedup_pairs
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [
+                "alpha beta gamma delta",                              # 0: contained in 1
+                "intro words alpha  Beta gamma delta trailing tail words here", # 1
+                "xxalpha beta gamma delta",                            # 2: char-level only (mid-word) -> no
+                "unrelated totally different content words",           # 3
+                "beta gamma",                                          # 4: < 3 tokens -> excluded
+                "ALPHA beta gamma delta",                              # 5: case-dup of 0; equal length -> not 'contained'
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r.contained_id, r.container_id)
+        for r in containment_dedup_pairs(df, "doc_id", "text").collect()
+    }
+    assert (0, 1) in got and (5, 1) in got
+    assert not any(a == 2 or b == 2 for a, b in got)
+    assert not any(a == 4 for a, b in got)
+    assert (0, 5) not in got and (5, 0) not in got  # equal length
+    # anchor cap: capping at df<=0 removes everything (completeness knob)
+    assert (
+        containment_dedup_pairs(df, "doc_id", "text", max_anchor_freq=0).count() == 0
+    )
