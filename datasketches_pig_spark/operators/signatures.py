@@ -244,23 +244,56 @@ def flat_token_hashes(
     return th, tok_counts
 
 
-def word_ngram_hash_sets(
-    texts: list[str | None], n: int, seed: int
+def flat_char_hashes(
+    texts: list[str | None], seed: int
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Per text: uint64 hashes of its DISTINCT word n-grams, flat across the
-    batch (concatenated values + per-doc counts) — no per-doc Python.
+    """Batch CHARACTER tokenization + murmur char hashing — the no-space-
+    script twin of ``flat_token_hashes``.
 
-    The n-gram hash is hash-of-token-hashes: murmur over the 8n-byte window
-    of ``n`` consecutive token murmur h1 values (equal grams ⇒ equal hashes;
-    spurious equality is a 2^-64 murmur collision, the same contract as every
-    other shingle hash here).  Docs with fewer than ``n`` tokens contribute
-    no grams, matching the relational ``word_ngrams`` guard.  The scalar
-    replication used by the VALUES oracles lives in
-    ``tools/gen_simhash_oracle.py``.
+    The "tokens" are the unicode characters of the whitespace-normalized
+    lowercased text (runs of ASCII whitespace collapsed to one space, so the
+    same document always yields the same char stream regardless of
+    formatting).  Each char is hashed as its utf-8 bytes through the
+    fixed-length murmur kernel, bucketed by encoded length (1–4 bytes → at
+    most 4 kernel calls for the whole batch).
+
+    Returns ``(char_h1, per_doc_char_counts)`` — flat uint64 char hashes in
+    document order plus each document's char count.
     """
     n_docs = len(texts)
+    char_counts = np.zeros(n_docs, dtype=np.int64)
+    parts: list[bytes] = []
+    for i, t in enumerate(texts):
+        norm = b" ".join((t or "").lower().encode("utf-8").split())
+        char_counts[i] = len(norm.decode("utf-8"))
+        parts.append(norm)
+    total = int(char_counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), char_counts
+    arr = np.frombuffer(b"".join(parts), dtype=np.uint8)
+    # utf-8 char starts: every byte that is not a continuation byte
+    starts = np.flatnonzero((arr & 0xC0) != 0x80)
+    lengths = np.diff(starts, append=len(arr)).astype(np.int64)
+    ch = np.empty(total, dtype=np.uint64)
+    for length in (1, 2, 3, 4):
+        sel = lengths == length
+        if not sel.any():
+            continue
+        mat = arr[starts[sel][:, None] + np.arange(length)[None, :]]
+        h1, _ = murmur3_x64_128_fixed(np.ascontiguousarray(mat), seed)
+        ch[sel] = h1
+    return ch, char_counts
+
+
+def _window_gram_hashes(
+    th: np.ndarray, tok_counts: np.ndarray, n: int, seed: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Flat per-doc token-hash stream → per-doc DISTINCT n-gram hashes
+    (murmur over the 8n-byte window of n consecutive token hashes), flat
+    values + per-doc counts.  Docs with fewer than ``n`` tokens contribute
+    no grams.  Shared by the word path and the char-fallback path."""
+    n_docs = len(tok_counts)
     counts = np.zeros(n_docs, dtype=np.int64)
-    th, tok_counts = flat_token_hashes(texts, seed)
     total = len(th)
     if total < n:
         return np.empty(0, dtype=np.uint64), counts
@@ -281,6 +314,67 @@ def word_ngram_hash_sets(
     gd, gs = gd[keep], gs[keep]
     counts = np.bincount(gd, minlength=n_docs).astype(np.int64)
     return gs, counts
+
+
+def word_ngram_hash_sets(
+    texts: list[str | None],
+    n: int,
+    seed: int,
+    char_fallback_n: int | None = 5,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per text: uint64 hashes of its DISTINCT word n-grams, flat across the
+    batch (concatenated values + per-doc counts) — no per-doc Python.
+
+    The n-gram hash is hash-of-token-hashes: murmur over the 8n-byte window
+    of ``n`` consecutive token murmur h1 values (equal grams ⇒ equal hashes;
+    spurious equality is a 2^-64 murmur collision, the same contract as every
+    other shingle hash here).  The scalar replication used by the VALUES
+    oracles lives in ``tools/gen_simhash_oracle.py``.
+
+    **No-space-script fallback** (``char_fallback_n``, default 5): a document
+    whose whitespace tokenization yields fewer than ``n`` tokens — the CJK /
+    no-space-script case, where the whole text is one "token" — falls back
+    to CHARACTER ``char_fallback_n``-grams over the whitespace-normalized
+    text (``flat_char_hashes``: tokens = unicode chars, same
+    hash-of-token-hashes window construction).  Without the fallback such
+    documents have zero shingles and are silently invisible to
+    MinHash/SimHash/containment dedup.  Word docs and char-fallback docs
+    never share a gram hash except by murmur collision (different window
+    byte-lengths), so a mixed corpus partitions cleanly.  ``None`` disables
+    the fallback (the pre-r4 word-only contract).
+    """
+    n_docs = len(texts)
+    th, tok_counts = flat_token_hashes(texts, seed)
+    gs, counts = _window_gram_hashes(th, tok_counts, n, seed)
+    if char_fallback_n is None:
+        return gs, counts
+    fb = np.flatnonzero(tok_counts < n)
+    if len(fb) == 0:
+        return gs, counts
+    ch, ch_counts = flat_char_hashes([texts[i] for i in fb], seed)
+    gs_c, cnt_c = _window_gram_hashes(ch, ch_counts, char_fallback_n, seed)
+    if len(gs_c) == 0:
+        return gs, counts
+    # merge char-gram segments back into document order
+    out_counts = counts.copy()
+    out_counts[fb] = cnt_c
+    out = np.empty(int(out_counts.sum()), dtype=np.uint64)
+    offs = np.concatenate([[0], np.cumsum(out_counts)[:-1]])
+    w_offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    c_offs = np.concatenate([[0], np.cumsum(cnt_c)[:-1]])
+    word_docs = np.flatnonzero(counts > 0)
+    # scatter word-gram segments (word docs keep their grams: fb docs have
+    # counts == 0 there by the < n guard)
+    if len(word_docs):
+        idx = np.repeat(offs[word_docs] - w_offs[word_docs], counts[word_docs])
+        src = np.arange(len(gs), dtype=np.int64)
+        out[src + idx] = gs
+    nz = cnt_c > 0
+    if nz.any():
+        idx = np.repeat(offs[fb[nz]] - c_offs[nz], cnt_c[nz])
+        src = np.arange(len(gs_c), dtype=np.int64)
+        out[src + idx] = gs_c
+    return out, out_counts
 
 
 def simhash_combo_keys_np(sim: np.ndarray, max_hamming: int) -> np.ndarray:

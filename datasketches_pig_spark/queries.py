@@ -1265,6 +1265,48 @@ def q_dedup_simhash(spark, sf_dir):
     return dd.simhash_near_pairs(docs, "doc_id", "text", n=3, max_hamming=6)
 
 
+# Deterministic CJK corpus derived from the documents table (the driver's
+# tables are pure ASCII): translate maps every ASCII letter to a distinct CJK
+# codepoint and DELETES spaces — producing genuine no-space multi-byte text
+# whose duplicate structure mirrors the source corpus.  Both engines apply
+# the identical translate, so the oracle is self-contained.
+CJK_FROM = "abcdefghijklmnopqrstuvwxyz "
+CJK_TO = "的一是不了人我在有他这中大来上国个到说们为子和你地出"
+
+
+def q_dedup_minhash_cjk(spark, sf_dir):
+    """No-space-script near-dup dedup: the same MinHash-LSH operator over a
+    CJK corpus (one whitespace token per document) — exercising the char
+    ``char_fallback_n``-gram shingle fallback end-to-end (kernel signatures,
+    LSH banding, and the relational exact-Jaccard verify all fall back
+    together).  The oracle is brute-force char-5-gram Jaccard in DuckDB."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.translate(F.lower(F.col("text")), CJK_FROM, CJK_TO).alias("text"),
+    )
+    out = dd.minhash_dedup_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_DEDUP_MINHASH_CJK = f"""
+WITH d AS (
+  SELECT doc_id, translate(lower(text), '{CJK_FROM}', '{CJK_TO}') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, substr(t, i.i, 5) AS sh
+  FROM d CROSS JOIN LATERAL (SELECT unnest(range(1, greatest(length(t)-3, 1))) AS i) i
+  WHERE length(t) >= 5
+), sizes AS (SELECT doc_id, COUNT(*) n FROM grams GROUP BY 1),
+common AS (
+  SELECT a.doc_id a, b.doc_id b, COUNT(*) c FROM grams a JOIN grams b USING (sh)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT a, b, ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard FROM common
+JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+"""
+
+
 def q_dedup_embedding(spark, sf_dir):
     from datasketches_pig_spark.ann.knn import embedding_near_pairs
 
@@ -1334,7 +1376,9 @@ def q_lang_id(spark, sf_dir):
 
 
 def _sql_marker(words: list[str]) -> str:
-    pat = "|".join(rf"\b{w}\b" for w in words)
+    # same boundary rule as textops.analysis._marker_pattern: \b for ASCII
+    # markers, plain match for CJK (RE2 \b is ASCII-only in both engines)
+    pat = "|".join(rf"\b{w}\b" if w.isascii() else w for w in words)
     return f"len(regexp_extract_all(lower(text), '{pat}'))"
 
 
@@ -2129,6 +2173,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "token_count": (q_token_count, SQL_TOKEN_COUNT),
         "doc_fingerprint": (q_fingerprint, SQL_DOC_FINGERPRINT),
         "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
+        "dedup_minhash_cjk": (q_dedup_minhash_cjk, SQL_DEDUP_MINHASH_CJK),
         # --- sketch-operator families (one query per reference operator) ---
         "theta_distinct": (q_theta_distinct, SQL_THETA_DISTINCT),
         "theta_union": (q_theta_union, SQL_THETA_UNION),
@@ -2147,7 +2192,6 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "quantiles_strings": (q_quantiles_strings, SQL_QUANTILES_STRINGS),
         "freq_items": (q_freq_items, SQL_FREQ_ITEMS),
         "freq_approx": (q_freq_approx, SQL_FREQ_APPROX),
-        "freq_nfp": (q_freq_nfp, SQL_FREQ_NFP),
         "reservoir_shortcut": (q_reservoir_shortcut, SQL_RESERVOIR_SHORTCUT),
         "reservoir_state_union": (q_reservoir_state_union, SQL_RESERVOIR_STATE_UNION),
         "reservoir_mixed_k": (q_reservoir_mixed_k, SQL_RESERVOIR_MIXED_K),
@@ -2170,6 +2214,9 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "setop_intersect": (q_setop_intersect, SQL_SETOP_INTERSECT),
         "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
         # --- entry 51+: variants whose operator already has an in-gate row ---
+        # freq_nfp moved here in r4 (frequencies keeps two in-gate rows:
+        # freq_items + freq_approx) to make room for dedup_minhash_cjk
+        "freq_nfp": (q_freq_nfp, SQL_FREQ_NFP),
         "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
         "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
         "dedup_exact_fast": (q_dedup_exact_fast, SQL_DEDUP_EXACT),

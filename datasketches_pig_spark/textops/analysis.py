@@ -25,9 +25,15 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+def _marker_pattern(words: list[str]) -> str:
+    """ASCII markers match as whole words; non-ASCII markers (CJK — no word
+    boundaries in a no-space script, and Java/RE2 ``\\b`` is ASCII-only so
+    ``\\b的\\b`` can never match) match as plain characters."""
+    return "|".join(rf"\b{w}\b" if w.isascii() else w for w in words)
+
+
 def _marker_count(text_col: Column, words: list[str]) -> Column:
-    pat = "|".join(rf"\b{w}\b" for w in words)
-    return F.size(F.regexp_extract_all(F.lower(text_col), F.lit(pat), 0))
+    return F.size(F.regexp_extract_all(F.lower(text_col), F.lit(_marker_pattern(words)), 0))
 
 
 def lang_id(text_col: str = "text") -> Column:

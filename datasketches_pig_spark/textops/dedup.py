@@ -42,8 +42,21 @@ def tokens_expr(text_col: str):
     return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
 
 
-def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) distinct word n-grams, relationally (no UDF)."""
+def word_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    char_fallback_n: int | None = 5,
+) -> DataFrame:
+    """(id, shingle) distinct word n-grams, relationally (no UDF).
+
+    ``char_fallback_n`` (default 5): documents with fewer than ``n``
+    whitespace tokens — the CJK / no-space-script case — shingle as
+    CHARACTER ``char_fallback_n``-grams of the whitespace-normalized text
+    instead (the relational twin of the ``word_ngram_hash_sets`` kernel
+    fallback; the two partitions never share a shingle string, word grams
+    containing a space where char grams of one-token docs cannot)."""
     toks = df.select(F.col(id_col).alias("id"), tokens_expr(text_col).alias("toks"))
     # guard size < n: F.sequence would count *down* for a negative end
     gram_arr = F.when(
@@ -53,6 +66,18 @@ def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
             lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    if char_fallback_n is not None:
+        cn = char_fallback_n
+        norm = F.concat_ws(" ", F.col("toks"))
+        gram_arr = F.when(F.size("toks") >= n, gram_arr).otherwise(
+            F.when(
+                F.length(norm) >= cn,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(norm) - cn + 1),
+                    lambda i: F.substring(norm, i, F.lit(cn)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
     grams = toks.select("id", F.explode(gram_arr).alias("shingle"))
     return grams.distinct()
 
@@ -115,18 +140,20 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
+    char_fallback_n: int | None = 5,
 ) -> DataFrame:
     """All pairs (a < b) with word-n-gram Jaccard ≥ threshold — the
     brute-force-exact dedup (quadratic in co-shingled docs; the oracle for
     the MinHash path).  The default is EXACT (no shingle dropped) so this
-    operator stays a valid oracle.
+    operator stays a valid oracle.  Docs with < n tokens use char
+    ``char_fallback_n``-grams (no-space scripts; see ``word_ngrams``).
 
     At corpus scale, pass ``max_doc_freq`` (e.g. 1000) to drop shingles
     appearing in more docs than that before the self-join — without it one
     stopword-gram ("of the and") makes the join quadratic in corpus size.
     With it set, Jaccard values over hot-shingled pairs are approximate
     (stopword-gram pruning); the MinHash-LSH path is the production dedup."""
-    grams = word_ngrams(df, id_col, text_col, n)
+    grams = word_ngrams(df, id_col, text_col, n, char_fallback_n)
     if max_doc_freq:
         hot = grams.groupBy("shingle").count().filter(F.col("count") > max_doc_freq)
         grams = grams.join(hot.select("shingle"), "shingle", "left_anti")
@@ -163,15 +190,19 @@ def minhash_stage(
     n: int = 3,
     num_perm: int = 128,
     seed: int = 9001,
+    char_fallback_n: int | None = 5,
 ) -> DataFrame:
     """(id, minhash, simhash, n_shingles) via the flat-array shingle kernel
     (``word_ngram_hash_sets``: batch tokenize → token murmur → window-of-
     token-hashes gram murmur → one lexsort dedup) — one Arrow pass, no
-    shuffle, no per-doc Python loop."""
+    shuffle, no per-doc Python loop.  Docs with < n tokens shingle as char
+    ``char_fallback_n``-grams (the no-space-script fallback)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            concat, counts = word_ngram_hash_sets(list(pdf[text_col]), n, seed)
+            concat, counts = word_ngram_hash_sets(
+                list(pdf[text_col]), n, seed, char_fallback_n
+            )
             mh = minhash_signatures(concat, counts, num_perm, seed)
             sh = simhash64(concat, counts)
             yield pd.DataFrame(
@@ -235,6 +266,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
     num_perm: int = 128,
     seed: int = 9001,
+    char_fallback_n: int | None = 5,
 ) -> DataFrame:
     """MinHash-LSH candidates, exact-verified by a shingle join restricted to
     candidates (the scale path: quadratic work only inside LSH buckets).
@@ -242,8 +274,13 @@ def minhash_dedup_pairs(
     The verify pass only ever shingles documents that appear in some
     candidate pair (semi-join pushdown into the source scan): Jaccard needs
     |A|, |B|, |A∩B| for candidate docs only, so at corpus scale the exact
-    verify costs O(candidates), not O(corpus)."""
-    sigs = minhash_stage(df, id_col, text_col, n, num_perm, seed)
+    verify costs O(candidates), not O(corpus).
+
+    Docs with < n tokens (CJK / no-space scripts) shingle as char
+    ``char_fallback_n``-grams in BOTH the signature kernel and the exact
+    verify (``word_ngrams`` applies the same fallback), so their Jaccard is
+    char-gram Jaccard and their near-dups are found like everyone else's."""
+    sigs = minhash_stage(df, id_col, text_col, n, num_perm, seed, char_fallback_n)
     cands = minhash_lsh_candidates(sigs, seed=seed).localCheckpoint()
     cand_ids = (
         cands.select(F.col("a").alias(id_col))
@@ -251,7 +288,7 @@ def minhash_dedup_pairs(
         .distinct()
     )
     cand_docs = df.join(cand_ids, id_col, "left_semi")
-    grams = word_ngrams(cand_docs, id_col, text_col, n).localCheckpoint()
+    grams = word_ngrams(cand_docs, id_col, text_col, n, char_fallback_n).localCheckpoint()
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     ga = grams.select(F.col("id").alias("a"), "shingle")
     gb = grams.select(F.col("id").alias("b"), "shingle")
@@ -281,6 +318,7 @@ def containment_dedup_pairs(
     text_col: str,
     n: int = 3,
     max_anchor_freq: int | None = None,
+    char_fallback_n: int | None = 5,
 ) -> DataFrame:
     """Partial-copy detection: (contained_id, container_id) pairs where the
     shorter document's whole normalized token sequence appears contiguously
@@ -307,10 +345,22 @@ def containment_dedup_pairs(
     ``max_anchor_freq``: optional completeness/cost trade — docs whose
     rarest shingle is still hotter than this (pure-boilerplate documents)
     are skipped on the contained side.  Default None = complete.
+
+    No-space scripts: docs with < n tokens shingle as char
+    ``char_fallback_n``-grams (``word_ngrams`` fallback) and verify with a
+    PLAIN substring check — word-boundary space padding is meaningless
+    where words aren't space-delimited.  Word and char-fallback docs never
+    share a shingle (word n-grams carry exactly n-1 spaces, a fallback
+    doc's whole text fewer), so every candidate pair is same-type and the
+    verify picks its form from the contained side's type.
     """
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
-    docs = df.select(F.col(id_col).alias("id"), norm.alias("__norm"))
-    grams = word_ngrams(df, id_col, text_col, n)
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        norm.alias("__norm"),
+        (F.size(tokens_expr(text_col)) >= n).alias("__word"),
+    )
+    grams = word_ngrams(df, id_col, text_col, n, char_fallback_n)
     freq = grams.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     gf = grams.join(freq, "shingle")
     # min-of-struct, not a window: partial-aggregates map-side, so the
@@ -331,16 +381,20 @@ def containment_dedup_pairs(
         .filter(F.col("contained_id") != F.col("container_id"))
         .select("contained_id", "container_id")
     )
-    da = docs.select(F.col("id").alias("contained_id"), F.col("__norm").alias("__na"))
+    da = docs.select(
+        F.col("id").alias("contained_id"),
+        F.col("__norm").alias("__na"),
+        F.col("__word").alias("__wa"),
+    )
     db = docs.select(F.col("id").alias("container_id"), F.col("__norm").alias("__nb"))
     pad = lambda c: F.concat(F.lit(" "), c, F.lit(" "))  # noqa: E731
+    contained = F.when(
+        F.col("__wa"), F.contains(pad(F.col("__nb")), pad(F.col("__na")))
+    ).otherwise(F.contains(F.col("__nb"), F.col("__na")))
     return (
         cand.join(da, "contained_id")
         .join(db, "container_id")
-        .filter(
-            (F.length("__na") < F.length("__nb"))
-            & F.contains(pad(F.col("__nb")), pad(F.col("__na")))
-        )
+        .filter((F.length("__na") < F.length("__nb")) & contained)
         .select("contained_id", "container_id")
     )
 
@@ -391,6 +445,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     seed: int = 9001,
     bucket_cap: int = 256,
+    char_fallback_n: int | None = 5,
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit fingerprints, Manku 3-of-(h+3)-block
     keys (pigeonhole: Hamming ≤ h ⇒ some 3 blocks untouched ⇒ shared key),
@@ -421,7 +476,9 @@ def simhash_near_pairs(
     # business, same contract as minhash_lsh_candidates
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            concat, counts = word_ngram_hash_sets(list(pdf[text_col]), n, seed)
+            concat, counts = word_ngram_hash_sets(
+                list(pdf[text_col]), n, seed, char_fallback_n
+            )
             sh = simhash64(concat, counts)
             keys = simhash_combo_keys_np(sh, max_hamming)
             yield pd.DataFrame(

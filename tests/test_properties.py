@@ -180,7 +180,9 @@ def test_reservoir_grouped_uniformity(spark):
 @settings(max_examples=25, deadline=None)
 def test_word_ngram_hash_sets_property_matches_scalar(texts, n):
     """Flat batch shingle kernel == scalar replication for arbitrary unicode
-    inputs, any n — the contract the VALUES oracles rest on."""
+    inputs, any n — the contract the VALUES oracles rest on.  Includes the
+    r4 no-space-script fallback: < n tokens → char 5-grams (tokens =
+    unicode chars of the ws-normalized text)."""
     from datasketches_pig_spark.functions.murmur3 import murmur3_x64_128
     from datasketches_pig_spark.operators.signatures import word_ngram_hash_sets
 
@@ -189,14 +191,20 @@ def test_word_ngram_hash_sets_property_matches_scalar(texts, n):
     pos = 0
     for i, t in enumerate(texts):
         toks = (t or "").lower().encode("utf-8").split()
-        th = [murmur3_x64_128(w, 9001)[0] for w in toks]
+        if len(toks) >= n:
+            th = [murmur3_x64_128(w, 9001)[0] for w in toks]
+            win = n
+        else:
+            norm = b" ".join(toks).decode("utf-8")
+            th = [murmur3_x64_128(c.encode("utf-8"), 9001)[0] for c in norm]
+            win = 5
         want = sorted(
             {
                 murmur3_x64_128(
-                    b"".join(int(h).to_bytes(8, "little") for h in th[j : j + n]),
+                    b"".join(int(h).to_bytes(8, "little") for h in th[j : j + win]),
                     9001,
                 )[0]
-                for j in range(max(len(th) - n + 1, 0))
+                for j in range(max(len(th) - win + 1, 0))
             }
         )
         assert counts[i] == len(want)

@@ -234,7 +234,9 @@ def test_word_ngram_hash_sets_matches_scalar_spec():
     contract the VALUES oracles are generated from."""
     from datasketches_pig_spark.operators.signatures import word_ngram_hash_sets
 
-    gs, counts = word_ngram_hash_sets(WORD_TEXTS, 3, 9001)
+    # word-only mode: the pre-r4 contract (char fallback off); the fallback
+    # path has its own scalar-parity tests in tests/test_cjk.py
+    gs, counts = word_ngram_hash_sets(WORD_TEXTS, 3, 9001, char_fallback_n=None)
     assert counts.sum() == len(gs)
     pos = 0
     for i, t in enumerate(WORD_TEXTS):

@@ -27,19 +27,33 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from datasketches_pig_spark.functions.murmur3 import murmur3_x64_128  # noqa: E402
 
 N = 3
+CHAR_FALLBACK_N = 5
 MAX_HAMMING = 6
 SEED = 9001
 
 
-def simhash(text: str) -> int:
+def gram_hashes(text: str) -> set[int]:
+    """Scalar replication of ``word_ngram_hash_sets`` incl. the r4
+    no-space-script fallback: < N whitespace tokens → char
+    CHAR_FALLBACK_N-grams over the ws-normalized text (tokens = chars)."""
     toks = (text or "").lower().encode("utf-8").split()
-    th = [murmur3_x64_128(w, SEED)[0] for w in toks]
-    hs = {
+    if len(toks) >= N:
+        th = [murmur3_x64_128(w, SEED)[0] for w in toks]
+        n = N
+    else:
+        norm = b" ".join(toks).decode("utf-8")
+        th = [murmur3_x64_128(c.encode("utf-8"), SEED)[0] for c in norm]
+        n = CHAR_FALLBACK_N
+    return {
         murmur3_x64_128(
-            b"".join(h.to_bytes(8, "little") for h in th[i : i + N]), SEED
+            b"".join(h.to_bytes(8, "little") for h in th[i : i + n]), SEED
         )[0]
-        for i in range(max(len(th) - N + 1, 0))
+        for i in range(max(len(th) - n + 1, 0))
     }
+
+
+def simhash(text: str) -> int:
+    hs = gram_hashes(text)
     if not hs:
         return 0
     fp = 0
