@@ -93,28 +93,21 @@ def rhp_signature_df(
     return src.mapInPandas(run, schema="id long, rhp_sig long")
 
 
-def rhp_lsh_topk(
+def _rhp_lsh_candidates(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-    n_bits: int = 16,
-    max_hamming: int = 4,
-    seed: int = 9001,
-    dim: int | None = None,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    planes: np.ndarray,
+    n_bits: int,
+    max_hamming: int,
+    n_chunks: int,
 ) -> DataFrame:
-    """LSH-bucketed ANN: candidates within signature Hamming ≤ max_hamming
-    (pigeonhole over 4 chunks), exact cosine re-rank.
-
-    Pass ``dim`` explicitly to avoid a schema-probe job; when omitted it is
-    read from one row (acceptable interactively, not in a pipeline)."""
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
-    planes = make_hyperplanes(dim, n_bits, seed)
-    nchunks = 4
-    bits_per = n_bits // nchunks
+    """(query_id, vec_id) candidate pairs: share ≥ 1 exact signature chunk
+    with the query AND full-signature Hamming ≤ max_hamming.  Split out so
+    tests can assert the candidate fraction directly."""
+    bits_per = n_bits // n_chunks
     mask = (1 << bits_per) - 1
 
     csig = rhp_signature_df(corpus, id_col, vec_col, planes)
@@ -133,7 +126,7 @@ def rhp_lsh_topk(
                             .bitwiseAND(F.lit(mask))
                             .alias("val"),
                         )
-                        for i in range(nchunks)
+                        for i in range(n_chunks)
                     ]
                 )
             ).alias("c"),
@@ -141,7 +134,7 @@ def rhp_lsh_topk(
 
     cc = chunked(csig, "vec_id")
     qc = chunked(qsig, "query_id")
-    cand = (
+    return (
         cc.join(F.broadcast(qc), ["chunk", "val"])
         .filter(
             F.bit_count(F.col("vec_id_sig").bitwiseXOR(F.col("query_id_sig")))
@@ -149,6 +142,55 @@ def rhp_lsh_topk(
         )
         .select("query_id", "vec_id")
         .distinct()
+    )
+
+
+def rhp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_bits: int = 64,
+    max_hamming: int = 16,
+    n_chunks: int = 4,
+    seed: int = 9001,
+    dim: int | None = None,
+) -> DataFrame:
+    """LSH-prefiltered ANN top-k: 64-bit random-hyperplane signatures,
+    exact-chunk banding, exact cosine re-rank on candidates only.
+
+    Plan shape, stated honestly: the chunk join streams the **signature
+    table** (two longs per row) against the broadcast query chunk keys —
+    a linear scan of signatures, never of the embedding vectors; the
+    exact-cosine re-rank then reads candidate vectors only.  At the 64-bit
+    default a chunk key is 16 bits, so per (query, chunk) an expected
+    ~2^-16 of random-signature corpus rows match — ~``n_chunks``/65536
+    (≈ 1/16k) of the corpus reaches the Hamming filter per query, vs ~23%
+    at the pre-r4 16-bit/4-bit-chunk default.  For repeated query batches
+    the signature side is worth materializing like ``ivf_build``'s lists.
+
+    Completeness contract (pigeonhole over ``n_chunks`` chunks): a corpus
+    row within Hamming ≤ ``n_chunks``-1 of the query's signature ALWAYS
+    shares an intact chunk — recall 1 in the near-duplicate regime
+    (Hamming ≤ 3 at 64 bits ≈ cosine ≥ ~0.99).  Between there and
+    ``max_hamming`` candidates are probabilistic (P[some 16-bit chunk
+    intact]); for moderate-similarity corpora (top-k neighbors at cosine
+    ~0.4, expected Hamming ~20+) the chunk prefilter rightly prunes
+    almost everything — use ``ivf_topk``, which partitions by coarse
+    centroid instead of signature agreement, for that regime.
+
+    Pass ``dim`` explicitly to avoid a schema-probe job; when omitted it is
+    read from one row (acceptable interactively, not in a pipeline)."""
+    if n_bits % n_chunks:
+        raise ValueError("rhp_lsh_topk: n_bits must be divisible by n_chunks")
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = make_hyperplanes(dim, n_bits, seed)
+    cand = _rhp_lsh_candidates(
+        corpus, queries, id_col, vec_col, query_id_col, planes,
+        n_bits, max_hamming, n_chunks,
     )
     c = corpus.select(
         F.col(id_col).alias("vec_id"),

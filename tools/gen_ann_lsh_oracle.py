@@ -26,10 +26,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from datasketches_pig_spark.ann.knn import make_hyperplanes  # noqa: E402
 
-N_BITS = 16
-MAX_HAMMING = 6
+N_BITS = 64
+MAX_HAMMING = 16
 N_CHUNKS = 4
 K = 5
+_M64 = (1 << 64) - 1  # popcount on the 64-bit pattern, not the signed value
 
 
 def main() -> None:
@@ -42,9 +43,15 @@ def main() -> None:
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     x = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
 
+    # queries = deterministically perturbed copies of the first 3 corpus
+    # vectors (the high-similarity regime the LSH prefilter serves); the
+    # same elementwise transform is applied by the Spark query and the
+    # DuckDB oracle SQL, so all three implementations see identical doubles
     q_mask = ids < 3
-    qids, qx = ids[q_mask], x[q_mask]
-    cids, cx = ids[~q_mask], x[~q_mask]
+    qids = ids[q_mask]
+    factor = 1 + 0.01 * ((np.arange(x.shape[1]) % 7) - 3)
+    qx = x[q_mask] * factor
+    cids, cx = ids, x  # corpus keeps all rows incl. the query sources
 
     planes = make_hyperplanes(x.shape[1], N_BITS, 9001)
     weights = 1 << np.arange(N_BITS, dtype=np.int64)
@@ -62,7 +69,9 @@ def main() -> None:
         shares = np.zeros(len(cids), dtype=bool)
         for c in range(N_CHUNKS):
             shares |= ((csig >> (bits_per * c)) & mask) == ((int(qs) >> (bits_per * c)) & mask)
-        ham = np.array([bin(int(qs) ^ int(s)).count("1") for s in csig])
+        ham = np.array(
+            [bin((int(qs) ^ int(s)) & _M64).count("1") for s in csig]
+        )
         cand = shares & (ham <= MAX_HAMMING)
         if not cand.any():
             continue
@@ -80,7 +89,9 @@ def main() -> None:
 ), c AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
 ), q AS (
-  SELECT vec_id AS query_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 3
+  SELECT vec_id AS query_id,
+         list_transform(range(1, len(e)+1), i -> e[i] * (1 + 0.01*((i-1)%7 - 3))) AS e
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 3)
 ), scored AS (
   SELECT cand.query_id, cand.vec_id,
          list_dot_product(c.e, q.e)
