@@ -277,7 +277,10 @@ def embedding_near_pairs(
                 F.array(*_simhash_combo_keys(F.col("rhp_sig"), max_hamming))
             ).alias("ckey"),
         )
-        cand = bucket_pairs(keys, "ckey", "id", cap=bucket_cap).distinct()
+        from datasketches_pig_spark.operators.lsh import release_shard_caches
+
+        cand = bucket_pairs(keys, "ckey", "id", cap=bucket_cap).distinct().localCheckpoint()
+        release_shard_caches()  # cand materialized; drop the shard cache
         ca = c.select(
             F.col("id").alias("a"), F.col("vec").alias("va"), F.col("nrm").alias("na")
         )

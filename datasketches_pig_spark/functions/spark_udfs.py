@@ -87,6 +87,11 @@ def murmur3_128(col, seed: int = 9001, divisor: int | None = None) -> Column:
     """Full reference-parity UDF: (h0 long, h1 long, mod int) struct; ``mod``
     is the unsigned 128-bit value modulo ``divisor`` (null if no divisor) —
     the LSH band→bucket assignment primitive (``pig/hash/MurmurHash3.java:85-101``)."""
+    if divisor is not None and not (0 < divisor <= 2**31 - 1):
+        # mod is a 32-bit struct field; larger divisors would fail per-batch
+        raise ValueError(
+            f"murmur3_128: divisor must be in (0, 2^31-1], got {divisor}"
+        )
 
     @pandas_udf("struct<h0: long, h1: long, mod: int>")
     def _udf(s: pd.Series) -> pd.DataFrame:
@@ -110,7 +115,9 @@ def murmur3_128(col, seed: int = 9001, divisor: int | None = None) -> Column:
         )
         out.loc[~valid, ["h0", "h1", "mod"]] = pd.NA
         if not divisor:
-            out["mod"] = pd.NA
+            # keep the Int32 extension dtype — a bare pd.NA assignment flips
+            # the column to object dtype and breaks Arrow conversion
+            out["mod"] = pd.array([pd.NA] * len(out), dtype="Int32")
         return out
 
     return _udf(col)
@@ -139,6 +146,14 @@ def register_sql_functions(
 
     Returns the registered names.
     """
+    if divisor is not None and not (0 < divisor <= 2**31 - 1):
+        # mod is declared int (32-bit) in the struct schema; a divisor above
+        # INT32_MAX would make every batch raise at runtime even though
+        # registration itself succeeds — validate here like the reference
+        # validates its ctor args at plan time
+        raise ValueError(
+            f"register_sql_functions: divisor must be in (0, 2^31-1], got {divisor}"
+        )
 
     def _reg_h1(name: str, flip: bool):
         @pandas_udf("long")
@@ -173,7 +188,9 @@ def register_sql_functions(
         )
         out.loc[~valid, ["h0", "h1", "mod"]] = pd.NA
         if not divisor:
-            out["mod"] = pd.NA
+            # keep the Int32 extension dtype — a bare pd.NA assignment flips
+            # the column to object dtype and breaks Arrow conversion
+            out["mod"] = pd.array([pd.NA] * len(out), dtype="Int32")
         return out
 
     spark.udf.register(f"{prefix}murmur3_128", _udf128)

@@ -67,7 +67,10 @@ def image_near_pairs(
             F.array(*_simhash_combo_keys(F.col("simhash"), max_hamming))
         ).alias("ckey"),
     )
-    cand = bucket_pairs(chunks, "ckey", "id", cap=bucket_cap).distinct()
+    from datasketches_pig_spark.operators.lsh import release_shard_caches
+
+    cand = bucket_pairs(chunks, "ckey", "id", cap=bucket_cap).distinct().localCheckpoint()
+    release_shard_caches()  # cand materialized; drop the shard cache
     sa = sigs.select(F.col("id").alias("a"), F.col("simhash").alias("ha"))
     sb = sigs.select(F.col("id").alias("b"), F.col("simhash").alias("hb"))
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))

@@ -31,6 +31,32 @@ from datasketches_pig_spark.config import DedupConfig
 
 SALT_SHARDS = 16
 
+# shard frames persisted by _salted_pairs, released by release_shard_caches():
+# the persist is load-bearing (two consumers below must not re-run the
+# upstream Arrow signature lineage — CLAUDE.md landmine #6) but the pairs
+# frame is returned lazily, so the cache cannot be dropped inside the
+# operator without forcing eager evaluation of a potentially huge pre-
+# distinct pair stream.  NOTE a single query may call _salted_pairs more
+# than once before consuming anything (the clip pipeline unions
+# candidate_pairs + exact_dup_pairs), so the release is NOT automatic here;
+# top-level operators call release_shard_caches() once their candidates are
+# materialized (or at their own start, bounding a long-lived session's
+# residue to the last query's caches).
+_SHARD_CACHES: list[DataFrame] = []
+
+
+def release_shard_caches() -> int:
+    """Unpersist every shard frame cached by earlier ``_salted_pairs`` calls.
+    Safe at any time: unpersisting only drops the cache — a still-lazy pairs
+    frame would recompute from lineage, and materialized consumers
+    (localCheckpoint) no longer reference it at all.  Returns the number of
+    caches released."""
+    n = 0
+    while _SHARD_CACHES:
+        _SHARD_CACHES.pop().unpersist()
+        n += 1
+    return n
+
 
 def _all_pairs(m: Column) -> Column:
     """members (sorted array) → array<struct<a,b>> of all pairs a < b."""
@@ -124,11 +150,13 @@ def _salted_pairs(
     # sorted; the shard star needs just the min element.  persist(): two
     # consumers below (shard stars + level-2 summaries) must not re-run the
     # upstream lineage — for document dedup that lineage is the whole Arrow
-    # minhash pass (lazy cache, populated by the first action)
+    # minhash pass (lazy cache, populated by the first action); released
+    # via release_shard_caches() (see _SHARD_CACHES above)
     shards = salted.groupBy(key, "__salt").agg(
         F.collect_list("clip_id").alias("m"),
         F.count(F.lit(1)).alias("sz"),
     ).persist()
+    _SHARD_CACHES.append(shards)
 
     # level-1: oversized shards immediately star-link to the shard center and
     # forward only the center; intact shards forward their full member list

@@ -153,6 +153,11 @@ def run_pipeline(
         "candidates",
         lambda: candidate_pairs(bands, cfg).distinct(),
     )
+    # the candidates stage is materialized (checkpoint or store): the salted
+    # expansion's internal shard cache is no longer referenced — release it
+    from datasketches_pig_spark.operators.lsh import release_shard_caches
+
+    release_shard_caches()
 
     verified = stage(
         "verified",

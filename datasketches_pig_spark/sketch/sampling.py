@@ -371,6 +371,12 @@ def varopt_sample(
     materializes in one Python worker: each task retains ≤ k of its rows and
     only the ≤ n_partitions * k survivors shuffle.  VarOpt-of-VarOpt is
     unbiased because adjusted weights are unbiased for the originals.
+
+    High-cardinality group columns: per-task state is k × (distinct groups
+    in the task), so the grouped partial also FLUSHES its pools whenever
+    total retained rows pass a bound (emitting finished partials early and
+    restarting) — memory stays bounded for any group cardinality at the
+    cost of extra shuffled partial rows; the per-group final is unchanged.
     """
     keys = group_cols or []
     schema_fields = [f for f in df.schema.fields if f.name != "vo_weight"]
@@ -379,8 +385,19 @@ def varopt_sample(
     ) + ", vo_weight double"
 
     if keys:
+        # Cardinality caveat: the partial keeps ≤ k rows PER DISTINCT GROUP
+        # seen by the task, so a high-cardinality group column could retain
+        # ~the whole partition in pandas memory.  The flush bound below caps
+        # that: when total retained rows exceed it, the pools are emitted as
+        # finished partials and the dict restarts — the per-group final merge
+        # already accepts any number of partial rows per group
+        # (VarOpt-of-VarOpt is unbiased), so flushing only adds shuffle rows,
+        # never changes semantics.
+        flush_rows = max(100_000, 4 * k)
+
         def partial_grouped(batches):
             pools: dict = {}
+            n_rows = 0
             for pdf in batches:
                 pdf = pdf.copy()
                 pdf["vo_weight"] = pdf[weight_col].astype(float)
@@ -391,7 +408,12 @@ def varopt_sample(
                         if prev is None
                         else pd.concat([prev, g], ignore_index=True)
                     )
-                    pools[gkey] = _varopt_group(pool, k, "vo_weight", seed)
+                    solved = _varopt_group(pool, k, "vo_weight", seed)
+                    n_rows += len(solved) - (0 if prev is None else len(prev))
+                    pools[gkey] = solved
+                if n_rows > flush_rows:
+                    yield pd.concat(pools.values(), ignore_index=True)
+                    pools, n_rows = {}, 0
             if pools:
                 yield pd.concat(pools.values(), ignore_index=True)
 

@@ -87,10 +87,17 @@ def streaming_ingest_dedup(
             return
         old_transcripts = None
         if transcript_store is not None:
+            from pyspark.errors import AnalysisException
+
             try:
                 old_transcripts = spark.read.parquet(transcript_store)
-            except Exception:
-                old_transcripts = None  # first batch: store not created yet
+            except AnalysisException:
+                # first batch: store not created yet (PATH_NOT_FOUND).  Only
+                # this case may silently downgrade the cross-batch substring
+                # check — corruption/permission errors must propagate, or
+                # streamed cluster state could diverge from the batch run
+                # without any signal
+                old_transcripts = None
         inc = incremental_dedup(
             spark,
             batch_df,

@@ -280,8 +280,11 @@ def minhash_dedup_pairs(
     ``char_fallback_n``-grams in BOTH the signature kernel and the exact
     verify (``word_ngrams`` applies the same fallback), so their Jaccard is
     char-gram Jaccard and their near-dups are found like everyone else's."""
+    from datasketches_pig_spark.operators.lsh import release_shard_caches
+
     sigs = minhash_stage(df, id_col, text_col, n, num_perm, seed, char_fallback_n)
     cands = minhash_lsh_candidates(sigs, seed=seed).localCheckpoint()
+    release_shard_caches()  # cands is materialized; drop the shard cache
     cand_ids = (
         cands.select(F.col("a").alias(id_col))
         .unionByName(cands.select(F.col("b").alias(id_col)))
@@ -498,8 +501,13 @@ def simhash_near_pairs(
         .filter(F.col("n_shingles") > 0)
         .localCheckpoint()
     )
+    from datasketches_pig_spark.operators.lsh import release_shard_caches
+
     chunks = sigs.select("id", F.explode("ckeys").alias("ckey"))
-    cand = bucket_pairs(chunks, "ckey", "id", cap=bucket_cap).distinct()
+    # candidates are post-distinct (bounded) — materialize them so the
+    # salted expansion's internal shard cache can be released immediately
+    cand = bucket_pairs(chunks, "ckey", "id", cap=bucket_cap).distinct().localCheckpoint()
+    release_shard_caches()
     sa = sigs.select(F.col("id").alias("a"), F.col("simhash").alias("sim_a"))
     sb = sigs.select(F.col("id").alias("b"), F.col("simhash").alias("sim_b"))
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))

@@ -138,3 +138,43 @@ def test_merge_bucket_summaries_semantics(spark):
                 scratch.loc[bk, "members"]
             )
     assert merged.loc[4, "center"] == 38  # min member arrived in the NEW side
+
+
+def test_shard_caches_released_after_dedup_query(spark):
+    """Hygiene contract: _salted_pairs persists its shard frame (landmine:
+    two consumers must not re-run the Arrow lineage), and the operator
+    wrappers release that cache once candidates are materialized — a
+    long-lived session running many dedup queries must not accumulate
+    cached shard RDDs."""
+    import pandas as pd
+
+    from datasketches_pig_spark.operators.lsh import _SHARD_CACHES
+    from datasketches_pig_spark.textops.dedup import (
+        minhash_dedup_pairs,
+        simhash_near_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(6),
+                "text": [
+                    "the quick brown fox jumps over the lazy dog",
+                    "the quick brown fox jumps over the lazy dog",
+                    "a completely different document about spark",
+                    "one two three four five six seven eight",
+                    "one two three four five six seven nine",
+                    "yet another unrelated piece of text here",
+                ],
+            }
+        )
+    )
+    from datasketches_pig_spark.operators.lsh import release_shard_caches
+
+    minhash_dedup_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+    assert not _SHARD_CACHES, "minhash left shard caches registered"
+    simhash_near_pairs(docs, "doc_id", "text", 3, max_hamming=6).collect()
+    assert not _SHARD_CACHES, "simhash left shard caches registered"
+    # nothing left for the explicit hygiene call to release (localCheckpoint
+    # RDDs of still-referenced frames are a different, GC-managed, pool)
+    assert release_shard_caches() == 0

@@ -195,3 +195,33 @@ def test_register_sql_functions_matches_column_api(spark):
     # column API agreement
     col = df.select("s", murmur3_h1(F.col("s")).alias("h")).collect()
     assert {r["s"]: r["h"] for r in col} == {r["s"]: r["h"] for r in got}
+
+
+def test_register_sql_functions_no_divisor_and_validation(spark):
+    """The divisor-less registration path must produce typed null mod (not
+    an object column that breaks Arrow), and an out-of-int32-range divisor
+    must fail at registration time, not per-batch at runtime."""
+    import pytest
+
+    from datasketches_pig_spark.functions.spark_udfs import (
+        murmur3_128,
+        register_sql_functions,
+    )
+
+    register_sql_functions(spark, prefix="nodiv_", seed=9001)  # no divisor
+    df = spark.createDataFrame([("hello",), ("",)], "s string")
+    df.createOrReplaceTempView("t_nodiv")
+    got = spark.sql(
+        "SELECT s, nodiv_murmur3_128(s) AS full FROM t_nodiv"
+    ).collect()
+    by_s = {r["s"]: r for r in got}
+    assert by_s["hello"]["full"]["mod"] is None  # divisor unbound -> null
+    assert by_s["hello"]["full"]["h0"] is not None
+    assert by_s[""]["full"]["h0"] is None
+
+    with pytest.raises(ValueError, match="divisor"):
+        register_sql_functions(spark, prefix="bad_", divisor=2**31)
+    with pytest.raises(ValueError, match="divisor"):
+        register_sql_functions(spark, prefix="bad_", divisor=0)
+    with pytest.raises(ValueError, match="divisor"):
+        murmur3_128("s", divisor=2**40)
