@@ -67,6 +67,30 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_theta_p(spark, sf_dir):
+    """Theta ctor sampling probability p < 1 — the reference's last §2.1
+    ctor argument (``theta/DataToSketch.java:129-135``): initial theta = p,
+    hashes ≥ p·2^64 rejected BEFORE the shuffle, estimate = retained/p in
+    the under-k region.  Deterministic given the murmur values, so the
+    VALUES oracle is an independent scalar replication
+    (tools/gen_theta_p_oracle.py).  Regenerate if testdata changes."""
+    orders = _t(spark, sf_dir, "orders")
+    sk = theta_sketch_agg(orders, ["o_orderstatus"], "o_custkey", THETA_K, p=0.25)
+    return sk.select(
+        "o_orderstatus",
+        F.round(theta_estimate("sketch", THETA_K, p=0.25), 1).alias("estimate"),
+    )
+
+
+SQL_THETA_P = """
+SELECT o_orderstatus, CAST(estimate AS DOUBLE) AS estimate FROM (VALUES
+  ('F', 1524.0),
+  ('O', 1560.0),
+  ('P', 1540.0)
+) t(o_orderstatus, estimate)
+"""
+
+
 def q_theta_union(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     per = theta_sketch_agg(li, ["l_linestatus"], "l_partkey", THETA_K)
@@ -2216,6 +2240,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         # freq_nfp moved here in r4 (frequencies keeps two in-gate rows:
         # freq_items + freq_approx) to make room for dedup_minhash_cjk
         "freq_nfp": (q_freq_nfp, SQL_FREQ_NFP),
+        "theta_p": (q_theta_p, SQL_THETA_P),
         "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
         "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
         "dedup_exact_fast": (q_dedup_exact_fast, SQL_DEDUP_EXACT),

@@ -56,50 +56,91 @@ def _two_level_bottom_k(
     )
 
 
+def sampling_threshold_ordered(p: float) -> int:
+    """Signed sign-flipped threshold for sampling probability ``p``: an
+    ordered hash value is retained iff it is < this (unsigned hash <
+    p·2^64).  The float product matches the scalar oracle replication
+    bit-for-bit (both sides compute ``int(p * 2.0**64)``)."""
+    return int(p * _TWO64) - (1 << 63)
+
+
 def theta_sketch_agg(
     df: DataFrame,
     group_cols: list[str],
     value_col: str,
     k: int = DEFAULT_K,
     seed: int = 9001,
+    p: float = 1.0,
 ) -> DataFrame:
     """Build a KMV sketch per group: group_cols + ``sketch array<long>``.
 
     Scale shape: dropDuplicates is a partial-agg-friendly shuffle on
     (groups, hash); bottom-k then runs as a salted two-level aggregation so
     no task ever sorts a whole group (see ``_two_level_bottom_k``).
+
+    ``p``: the reference ctor's up-front sampling probability
+    (``theta/DataToSketch.java:129-135`` — validated at construction like
+    the reference validates at plan time).  With p < 1 the sketch's initial
+    theta is p: only hashes below p·2^64 are retained (the filter runs
+    BEFORE the shuffle, so at scale p<1 also cuts shuffle volume by p), and
+    estimates divide by the effective theta — ``theta_estimate(..., p=p)``.
     """
     if k < 16 or (k & (k - 1)) != 0:
         raise ValueError(
             f"theta sketch size must be a power of 2 >= 16, got {k} "
             "(reference contract: theta/DataToSketch.java sketch-size check)"
         )
+    if not (0.0 < p <= 1.0):
+        raise ValueError(
+            f"theta sampling probability p must be in (0, 1], got {p} "
+            "(reference contract: theta/DataToSketch.java:129-135)"
+        )
     hashed = df.select(
         *group_cols, murmur3_h1_ordered(F.col(value_col), seed).alias("__h")
     ).dropna(subset=["__h"]).dropDuplicates([*group_cols, "__h"])
+    if p < 1.0:
+        hashed = hashed.filter(F.col("__h") < F.lit(sampling_threshold_ordered(p)))
     return _two_level_bottom_k(hashed, group_cols, k)
 
 
-def theta_estimate(sketch: Column | str, k: int = DEFAULT_K) -> Column:
+def theta_estimate(sketch: Column | str, k: int = DEFAULT_K, p: float = 1.0) -> Column:
     """Distinct estimate from a sketch column (``theta/Estimate.java:62-68``):
-    exact when retained < k, else (k-1)/theta."""
+    retained/p while under k (exact when p == 1, unbiased binomial estimate
+    when p < 1 — theta starts at p), else (k-1)/theta."""
     s = F.col(sketch) if isinstance(sketch, str) else sketch
     n = F.size(s)
     kth = F.element_at(s, k).cast("double")  # sign-flipped int64
     theta = (kth + F.lit(_TWO63) + F.lit(1.0)) / F.lit(_TWO64)
-    return F.when(n < k, n.cast("double")).otherwise(F.lit(float(k - 1)) / theta)
+    return F.when(n < k, n.cast("double") / F.lit(p)).otherwise(
+        F.lit(float(k - 1)) / theta
+    )
 
 
-def theta_error_bounds(sketch: Column | str, k: int = DEFAULT_K) -> Column:
+def theta_error_bounds(
+    sketch: Column | str, k: int = DEFAULT_K, p: float = 1.0
+) -> Column:
     """(est, ub, lb) struct at ±2 std dev (``theta/ErrorBounds.java:83-93``).
-    In exact mode ub == lb == est (zero error)."""
+    In exact mode (p == 1, retained < k) ub == lb == est (zero error); with
+    p < 1 the under-k region carries binomial sampling error — relative 2σ
+    = 2·sqrt((1-p)/(n·p)) for n retained."""
     s = F.col(sketch) if isinstance(sketch, str) else sketch
-    est = theta_estimate(s, k)
+    est = theta_estimate(s, k, p)
     n = F.size(s)
     rse2 = F.lit(2.0) / F.sqrt(F.lit(float(k)))
-    exact = n < k
-    ub = F.when(exact, est).otherwise(est * (F.lit(1.0) + rse2))
-    lb = F.when(exact, est).otherwise(est * (F.lit(1.0) - rse2))
+    under_k = n < k
+    if p < 1.0:
+        brse2 = F.lit(2.0) * F.sqrt(
+            F.lit(1.0 - p) / (F.greatest(n, F.lit(1)).cast("double") * F.lit(p))
+        )
+        ub = F.when(under_k, est * (F.lit(1.0) + brse2)).otherwise(
+            est * (F.lit(1.0) + rse2)
+        )
+        lb = F.when(under_k, est * (F.lit(1.0) - brse2)).otherwise(
+            est * (F.lit(1.0) - rse2)
+        )
+    else:
+        ub = F.when(under_k, est).otherwise(est * (F.lit(1.0) + rse2))
+        lb = F.when(under_k, est).otherwise(est * (F.lit(1.0) - rse2))
     return F.struct(est.alias("est"), ub.alias("ub"), lb.alias("lb"))
 
 

@@ -361,3 +361,48 @@ def test_theta_sketch_state_roundtrip_and_union(spark, tmp_path):
         .set_index("g")["est"]
     )
     assert all(out[g] == 1000.0 for g in (0, 1, 2))
+
+
+def test_theta_sampling_probability(spark):
+    """Theta ctor sampling probability p (theta/DataToSketch.java:129-135):
+    initial theta = p, only hashes < p*2^64 retained, estimate = retained/p
+    under k; construction-time validation like the reference; p=1 exact
+    path unchanged."""
+    import pytest
+
+    from datasketches_pig_spark.functions.murmur3 import murmur3_x64_128
+    from datasketches_pig_spark.sketch.theta import (
+        theta_error_bounds,
+        theta_estimate,
+        theta_sketch_agg,
+    )
+
+    vals = list(range(1, 401))
+    df = spark.createDataFrame([(1, v) for v in vals], "g int, v long")
+    p = 0.25
+    sk = theta_sketch_agg(df, ["g"], "v", k=256, p=p)
+    row = sk.select(
+        F.size("sketch").alias("n"),
+        theta_estimate("sketch", 256, p=p).alias("est"),
+        theta_error_bounds("sketch", 256, p=p).alias("b"),
+    ).collect()[0]
+    # scalar replication of the retention rule
+    thr = int(p * 2.0**64)
+    exp_n = sum(
+        1
+        for v in vals
+        if murmur3_x64_128(int(v).to_bytes(8, "little", signed=True), 9001)[0] < thr
+    )
+    assert row["n"] == exp_n == 115
+    assert row["est"] == pytest.approx(exp_n / p)
+    # binomial 2-sigma bounds bracket the true distinct count here
+    assert row["b"]["lb"] <= 400 <= row["b"]["ub"]
+    assert row["b"]["lb"] < row["est"] < row["b"]["ub"]
+
+    with pytest.raises(ValueError, match="sampling probability"):
+        theta_sketch_agg(df, ["g"], "v", p=0.0)
+    with pytest.raises(ValueError, match="sampling probability"):
+        theta_sketch_agg(df, ["g"], "v", p=1.5)
+
+    sk1 = theta_sketch_agg(df, ["g"], "v", k=1024)
+    assert sk1.select(theta_estimate("sketch", 1024).alias("e")).collect()[0]["e"] == 400.0
