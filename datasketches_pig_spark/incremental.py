@@ -97,6 +97,39 @@ def save_history(
     )
 
 
+def _journal_dir(base_path: str) -> str:
+    return f"{base_path}/_fold_journal"
+
+
+def _flag_path(base_path: str, name: str) -> "Path":
+    from pathlib import Path
+
+    return Path(_journal_dir(base_path)) / f"{name}.flag"
+
+
+def pending_fold(base_path: str) -> dict | None:
+    """The marker of an interrupted fold, or None when the store is clean.
+    The marker carries the batch fingerprint ``{"n": rows, "idhash": sum of
+    xxhash64(clip_id)}`` so a replayed micro-batch can recognise itself."""
+    import json
+    from pathlib import Path
+
+    marker = Path(_journal_dir(base_path)) / "marker.json"
+    if marker.exists():
+        return json.loads(marker.read_text())
+    return None
+
+
+def batch_fingerprint(sigs: DataFrame) -> dict:
+    # xor-fold of the id hashes: order-independent and overflow-free (a sum
+    # would overflow long under ANSI mode)
+    row = sigs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(clip_id))"), F.lit(0)).alias("idhash"),
+    ).collect()[0]
+    return {"n": int(row["n"]), "idhash": int(row["idhash"])}
+
+
 def fold_history(
     spark: SparkSession,
     new_sigs: DataFrame,
@@ -105,6 +138,7 @@ def fold_history(
     cfg: DedupConfig,
     base_path: str,
     table_prefix: str,
+    _fail_after: str | None = None,
 ) -> None:
     """Fold one batch's state forward WITHOUT rewriting the signature
     history (the O(batch) fold the ingest loop uses):
@@ -120,11 +154,73 @@ def fold_history(
       (2 narrow columns, small)
 
     Per-batch IO is O(batch + buckets + cluster rows); the ~8 KB/clip
-    signature store — the dominant history volume — is append-only.  The
-    two rewrites are still non-atomic in parquet mode (a crash between them
-    needs a re-fold from the assignments sink); an Iceberg catalog makes
-    each a single atomic MERGE INTO/append commit."""
+    signature store — the dominant history volume — is append-only.
+
+    CRASH RECOVERY (r4): the fold is journaled.  Before any store write the
+    re-fold inputs (new_sigs / assignments / merges) land in
+    ``{base_path}/_fold_journal`` with a marker carrying the batch
+    fingerprint; each store step then records a completion flag, and the
+    merged small tables are STAGED inside the journal before their live
+    overwrite (so a redo never re-merges against an already-merged table).
+    A crash at any point leaves a journal from which ``repair_fold``
+    completes the interrupted fold idempotently:
+
+    * signature append — redo skipped when the batch's ids are already all
+      present (job-commit atomicity makes partial visibility an error)
+    * bucket/cluster overwrite — redone from the staged copy, never
+      recomputed from the (possibly already-overwritten) live table
+
+    The journal is deleted only after every step committed.  An Iceberg
+    catalog collapses all of this into one atomic multi-table transaction;
+    the journal is the parquet-mode equivalent.  ``_fail_after`` is a test
+    hook naming a step after which to raise (crash injection).
+    """
+    import json
+    from pathlib import Path
+
+    journal = _journal_dir(base_path)
+    # journal the re-fold inputs first — one extra batch-sized write, the
+    # parquet-mode WAL
+    new_sigs.write.mode("overwrite").parquet(f"{journal}/new_sigs")
+    assignments.select("clip_id", "cluster_id").write.mode("overwrite").parquet(
+        f"{journal}/assignments"
+    )
+    merges.write.mode("overwrite").parquet(f"{journal}/merges")
+    marker = Path(journal) / "marker.json"
+    marker.write_text(json.dumps(batch_fingerprint(new_sigs)))
+    _fold_steps(spark, cfg, base_path, table_prefix, _fail_after)
+
+
+def repair_fold(
+    spark: SparkSession, cfg: DedupConfig, base_path: str, table_prefix: str
+) -> bool:
+    """Complete an interrupted ``fold_history`` from its journal — the
+    executable form of the documented recovery contract.  No-op (False)
+    when the store is clean; True when a pending fold was completed."""
+    if pending_fold(base_path) is None:
+        return False
+    _fold_steps(spark, cfg, base_path, table_prefix, None)
+    return True
+
+
+def _fold_steps(
+    spark: SparkSession,
+    cfg: DedupConfig,
+    base_path: str,
+    table_prefix: str,
+    _fail_after: str | None,
+) -> None:
+    import shutil
+    from pathlib import Path
+
     from datasketches_pig_spark.operators.lsh import merge_bucket_summaries
+
+    journal = _journal_dir(base_path)
+    sigs = spark.read.parquet(f"{journal}/new_sigs")
+
+    def fail_point(name: str) -> None:
+        if _fail_after == name:
+            raise RuntimeError(f"fold crash injected after step {name!r}")
 
     # how many buckets the existing tables use is a layout constant of the
     # store; read it from the catalog rather than trusting a parameter
@@ -133,62 +229,101 @@ def fold_history(
     for r in desc:
         if r["col_name"] == "Num Buckets":
             nb = int(r["data_type"])
-    (
-        new_sigs.write.mode("append")
-        .bucketBy(nb, "clip_id")
-        .sortBy("clip_id")
-        .option("path", f"{base_path}/signatures")
-        .format("parquet")
-        .saveAsTable(f"{table_prefix}_signatures")
-    )
-    # the append may run on a CLONED session (streaming foreachBatch clones
-    # the SparkSession per micro-batch), which refreshes only the clone's
-    # cached file listing — without this the parent session (and the next
-    # micro-batch) keeps reading the pre-append file index and silently
-    # misses the new signatures
-    spark.catalog.refreshTable(f"{table_prefix}_signatures")
 
-    old_buckets = spark.table(f"{table_prefix}_band_buckets")
-    new_buckets = bucket_summaries(
-        all_bands(new_sigs, cfg), "band_key", "clip_id", cfg.max_bucket_size
-    )
-    merged_buckets = merge_bucket_summaries(
-        old_buckets, new_buckets, cfg.max_bucket_size
-    ).localCheckpoint()  # materialize BEFORE overwriting the table it reads
-    (
-        merged_buckets.write.mode("overwrite")
-        .bucketBy(nb, "band_key")
-        .sortBy("band_key")
-        .option("path", f"{base_path}/band_buckets")
-        .format("parquet")
-        .saveAsTable(f"{table_prefix}_band_buckets")
-    )
-    spark.catalog.refreshTable(f"{table_prefix}_band_buckets")
+    # -- step 1: signature append (idempotent via presence check) ----------
+    if not _flag_path(base_path, "sig_done").exists():
+        store = spark.table(f"{table_prefix}_signatures")
+        batch_n = sigs.count()
+        present = store.join(sigs.select("clip_id"), "clip_id", "left_semi").count()
+        if present == 0:
+            (
+                sigs.write.mode("append")
+                .bucketBy(nb, "clip_id")
+                .sortBy("clip_id")
+                .option("path", f"{base_path}/signatures")
+                .format("parquet")
+                .saveAsTable(f"{table_prefix}_signatures")
+            )
+            # the append may run on a CLONED session (streaming foreachBatch
+            # clones the SparkSession per micro-batch), which refreshes only
+            # the clone's cached file listing — without this the parent
+            # session (and the next micro-batch) keeps reading the
+            # pre-append file index and silently misses the new signatures
+            spark.catalog.refreshTable(f"{table_prefix}_signatures")
+        elif present != batch_n:
+            raise RuntimeError(
+                f"fold repair: {present}/{batch_n} batch signatures visible — "
+                "partial append should be impossible under job-commit "
+                "atomicity; store needs manual attention"
+            )
+        _flag_path(base_path, "sig_done").touch()
+    fail_point("signatures")
 
-    old_clusters = spark.table(f"{table_prefix}_clusters")
-    merge_map = F.broadcast(merges)
-    clusters = (
-        old_clusters.join(
-            merge_map, old_clusters.cluster_id == merges.old_cluster_id, "left"
+    # -- step 2: band-bucket summaries (stage inside the journal, then swap)
+    staged_buckets = f"{journal}/band_buckets_staged"
+    if not (Path(staged_buckets) / "_SUCCESS").exists():
+        old_buckets = spark.table(f"{table_prefix}_band_buckets")
+        new_buckets = bucket_summaries(
+            all_bands(sigs, cfg), "band_key", "clip_id", cfg.max_bucket_size
         )
-        .select(
-            "clip_id",
-            F.coalesce(merge_map.cluster_id, old_clusters.cluster_id).alias(
-                "cluster_id"
-            ),
+        merge_bucket_summaries(
+            old_buckets, new_buckets, cfg.max_bucket_size
+        ).write.mode("overwrite").parquet(staged_buckets)
+    fail_point("buckets_staged")
+    if not _flag_path(base_path, "buckets_done").exists():
+        (
+            spark.read.parquet(staged_buckets)
+            .write.mode("overwrite")
+            .bucketBy(nb, "band_key")
+            .sortBy("band_key")
+            .option("path", f"{base_path}/band_buckets")
+            .format("parquet")
+            .saveAsTable(f"{table_prefix}_band_buckets")
         )
-        .unionByName(assignments.select("clip_id", "cluster_id"))
-        .localCheckpoint()
-    )
-    (
-        clusters.write.mode("overwrite")
-        .bucketBy(nb, "clip_id")
-        .sortBy("clip_id")
-        .option("path", f"{base_path}/clusters")
-        .format("parquet")
-        .saveAsTable(f"{table_prefix}_clusters")
-    )
-    spark.catalog.refreshTable(f"{table_prefix}_clusters")
+        spark.catalog.refreshTable(f"{table_prefix}_band_buckets")
+        _flag_path(base_path, "buckets_done").touch()
+    fail_point("buckets")
+
+    # -- step 3: clusters (same stage-then-swap) ----------------------------
+    staged_clusters = f"{journal}/clusters_staged"
+    if not (Path(staged_clusters) / "_SUCCESS").exists():
+        assignments = spark.read.parquet(f"{journal}/assignments")
+        merges = spark.read.parquet(f"{journal}/merges")
+        old_clusters = spark.table(f"{table_prefix}_clusters")
+        merge_map = F.broadcast(merges)
+        (
+            old_clusters.join(
+                merge_map, old_clusters.cluster_id == merges.old_cluster_id, "left"
+            )
+            .select(
+                "clip_id",
+                F.coalesce(merge_map.cluster_id, old_clusters.cluster_id).alias(
+                    "cluster_id"
+                ),
+            )
+            .unionByName(assignments.select("clip_id", "cluster_id"))
+            .write.mode("overwrite")
+            .parquet(staged_clusters)
+        )
+    fail_point("clusters_staged")
+    if not _flag_path(base_path, "clusters_done").exists():
+        (
+            spark.read.parquet(staged_clusters)
+            .write.mode("overwrite")
+            .bucketBy(nb, "clip_id")
+            .sortBy("clip_id")
+            .option("path", f"{base_path}/clusters")
+            .format("parquet")
+            .saveAsTable(f"{table_prefix}_clusters")
+        )
+        spark.catalog.refreshTable(f"{table_prefix}_clusters")
+        _flag_path(base_path, "clusters_done").touch()
+    fail_point("clusters")
+
+    # fold committed — drop the journal (marker last would be ideal; on a
+    # real FS this rmtree is the single commit point since every step above
+    # is a no-op once its flag exists)
+    shutil.rmtree(journal)
 
 
 @dataclass

@@ -40,11 +40,14 @@ def _fold_batch_into_history(
     APPENDS the batch's signatures to the bucketed store (the ~8 KB/clip
     history volume is never rewritten) and merges band-bucket summaries
     sketch-style from the old summaries plus the batch's band rows only
-    (``lsh.merge_bucket_summaries``).  The two small rewrites (compact
-    bucket summaries, 2-column cluster table) are still non-atomic in
-    parquet mode — a crash between them needs a re-fold from the last good
-    assignments sink; an Iceberg catalog makes each step one atomic
-    MERGE INTO / append commit with the same logical fold.
+    (``lsh.merge_bucket_summaries``).  The fold is JOURNALED (r4): re-fold
+    inputs + per-step completion flags + staged copies of the two small
+    rewrites live in ``{base_path}/_fold_journal`` until every step
+    commits, so a crash at any point is recovered by
+    ``incremental.repair_fold`` (the sink calls it at batch start) and a
+    replayed micro-batch whose clips are already folded is skipped.  An
+    Iceberg catalog collapses the journal into one atomic multi-table
+    transaction with the same logical fold.
     """
     from datasketches_pig_spark.incremental import fold_history
 
@@ -82,8 +85,28 @@ def streaming_ingest_dedup(
     from datasketches_pig_spark.incremental import incremental_dedup
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from datasketches_pig_spark.incremental import repair_fold
+
         batch_df = batch_df.localCheckpoint()
         if not batch_df.take(1):
+            return
+        # crash recovery: complete any fold interrupted by a previous crash
+        # from its journal BEFORE touching the stores (idempotent; no-op on
+        # a clean store)
+        repair_fold(spark, cfg, table_prefix=table_prefix, base_path=base_path)
+        # replay-skip: a restarted stream re-delivers the last uncommitted
+        # micro-batch; if its clips are already fully folded the batch
+        # completed before the crash — skip it instead of tripping the
+        # re-ingest guard (partial presence still raises there: that state
+        # is beyond journaled recovery and must be looked at)
+        ids = batch_df.select("clip_id").distinct().localCheckpoint()
+        n_ids = ids.count()
+        present = (
+            spark.table(f"{table_prefix}_signatures")
+            .join(ids, "clip_id", "left_semi")
+            .count()
+        )
+        if present == n_ids:
             return
         old_transcripts = None
         if transcript_store is not None:
@@ -106,10 +129,13 @@ def streaming_ingest_dedup(
             old_transcripts=old_transcripts,
         )
         assignments = inc.assignments.localCheckpoint()
+        # hive-style per-batch partition dir with overwrite: a replayed
+        # batch that crashed after this write but before the fold journal
+        # existed re-lands on the same path instead of appending duplicates
+        # (readers of the sink root see batch_id as a partition column)
         (
-            assignments.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(assignments_sink)
+            assignments.write.mode("overwrite")
+            .parquet(f"{assignments_sink}/batch_id={batch_id}")
         )
         _fold_batch_into_history(
             spark, inc.new_sigs, assignments, inc.merges.localCheckpoint(),

@@ -129,3 +129,68 @@ def test_band_store_join_colocated(spark, split_corpus):
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Bucketed: true" in plan, plan
+
+
+def test_fold_crash_recovery(spark, split_corpus, tmp_path_factory):
+    """The journaled fold contract, executable: inject a crash after every
+    fold step, then repair_fold must complete the interrupted fold and
+    leave the store byte-equal (rows, buckets, counts) to an uninterrupted
+    fold of the same batch."""
+    from datasketches_pig_spark.incremental import (
+        fold_history,
+        pending_fold,
+        repair_fold,
+    )
+
+    day1, day2, both = split_corpus
+    cfg = DedupConfig()
+    r1 = run_pipeline(spark, day1, cfg)
+    sigs1 = r1.stage_frames["signatures"].localCheckpoint()
+    clusters1 = r1.clusters.localCheckpoint()
+
+    def fresh_store(prefix, base):
+        for t in ("signatures", "band_buckets", "clusters"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        save_history(spark, sigs1, clusters1, cfg, base, prefix, num_buckets=8)
+
+    # reference: an uninterrupted fold
+    refbase = str(tmp_path_factory.mktemp("foldref"))
+    fresh_store("foldref", refbase)
+    inc = incremental_dedup(
+        spark, day2, cfg, "foldref",
+        old_transcripts=day1.select("clip_id", "transcript"),
+    )
+    new_sigs = inc.new_sigs.localCheckpoint()
+    assigns = inc.assignments.localCheckpoint()
+    merges = inc.merges.localCheckpoint()
+    fold_history(spark, new_sigs, assigns, merges, cfg, refbase, "foldref")
+    assert pending_fold(refbase) is None  # journal gone after a clean fold
+
+    def snapshot(prefix):
+        clusters = sorted(
+            (r["clip_id"], r["cluster_id"])
+            for r in spark.table(f"{prefix}_clusters").collect()
+        )
+        buckets = sorted(
+            (r["band_key"], tuple(r["members"]), r["bucket_n"], r["center"])
+            for r in spark.table(f"{prefix}_band_buckets").collect()
+        )
+        return clusters, buckets, spark.table(f"{prefix}_signatures").count()
+
+    want = snapshot("foldref")
+
+    for point in ("signatures", "buckets_staged", "buckets", "clusters_staged", "clusters"):
+        prefix = f"foldcr_{point}"
+        base = str(tmp_path_factory.mktemp(prefix))
+        fresh_store(prefix, base)
+        with pytest.raises(RuntimeError, match="crash injected"):
+            fold_history(
+                spark, new_sigs, assigns, merges, cfg, base, prefix,
+                _fail_after=point,
+            )
+        assert pending_fold(base) is not None, point
+        assert repair_fold(spark, cfg, base, prefix) is True, point
+        assert pending_fold(base) is None, point
+        assert snapshot(prefix) == want, f"store diverged after crash at {point}"
+        # a second repair on the clean store is a no-op
+        assert repair_fold(spark, cfg, base, prefix) is False, point
