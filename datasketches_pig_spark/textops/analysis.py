@@ -15,13 +15,16 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-# marker-word profiles for the deterministic n-gram/stopword language heuristic
+# marker-word profiles for the deterministic n-gram/stopword language
+# heuristic.  ASCII markers match as whole words (\b); non-ASCII markers
+# (no-space scripts) match as plain characters — see _marker_pattern.
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "is", "a"],
     "de": ["der", "die", "und", "ist", "das"],
     "es": ["el", "la", "los", "es", "de"],
     "fr": ["le", "les", "est", "une", "des"],
     "zh": ["的", "是", "了", "在", "我"],
+    "ja": ["の", "は", "を", "た", "です"],
 }
 
 

@@ -138,11 +138,12 @@ def test_lang_id_zh(spark):
 
     pdf = pd.DataFrame(
         {
-            "doc_id": [0, 1, 2],
+            "doc_id": [0, 1, 2, 3],
             "text": [
                 "我在这里的时候他是了一个人",      # zh markers, no spaces
                 "the cat is on the mat",           # en
                 "这是我的书了我在看它了是的",      # zh with more markers
+                "これは私の本ですそれを見たのは昨日でした",  # ja
             ],
         }
     )
@@ -151,3 +152,4 @@ def test_lang_id_zh(spark):
     assert out.loc[0, "l"] == "zh"
     assert out.loc[1, "l"] == "en"
     assert out.loc[2, "l"] == "zh"
+    assert out.loc[3, "l"] == "ja"
