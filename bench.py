@@ -133,6 +133,18 @@ def main() -> None:
                 eff = max(effs) if effs else None
             if eff is not None:
                 out["scaling_efficiency_best_pair"] = eff
+            # round-4 fresh measurements (honest per-round numbers next to
+            # the historical best): clip pipeline + document-corpus pairs
+            r4c = sc.get("round4_clips_n2_n8")
+            r4d = sc.get("round4_docs_minhash_n2_n8")
+            if r4c:
+                out["scaling_efficiency_r4_clips_pair"] = r4c["best_pair"][
+                    "scaling_efficiency"
+                ]
+            if r4d:
+                out["scaling_efficiency_r4_docs_pair"] = r4d["best_pair"][
+                    "scaling_efficiency"
+                ]
         print(json.dumps(out))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
