@@ -101,6 +101,23 @@ def _journal_dir(base_path: str) -> str:
     return f"{base_path}/_fold_journal"
 
 
+def _require_local_base(base_path: str) -> None:
+    """The fold journal's marker/flag/staged-dir bookkeeping uses the LOCAL
+    filesystem (pathlib/shutil) while the data writes go through Spark's
+    Hadoop path handling.  On a remote base (HDFS/object store) the recovery
+    contract would silently not hold — flags would land on the driver's
+    local disk and never be seen by the store.  The journaled fold is
+    therefore local-parquet-mode only; an Iceberg catalog (the production
+    target) replaces the journal with one atomic multi-table transaction."""
+    scheme, sep, _ = base_path.partition("://")
+    if sep and scheme not in ("file",):
+        raise ValueError(
+            f"journaled fold requires a local base_path (got scheme "
+            f"{scheme!r}): the journal's marker/flags live on the driver's "
+            "local filesystem. Use an Iceberg catalog for remote storage."
+        )
+
+
 def _flag_path(base_path: str, name: str) -> "Path":
     from pathlib import Path
 
@@ -174,11 +191,36 @@ def fold_history(
     catalog collapses all of this into one atomic multi-table transaction;
     the journal is the parquet-mode equivalent.  ``_fail_after`` is a test
     hook naming a step after which to raise (crash injection).
+
+    ENTRY GUARD: if a PREVIOUS fold's journal is still pending (any caller
+    crashed without running ``repair_fold`` — not just the streaming sink),
+    it is completed from its own journal before this batch's inputs are
+    written.  Without the guard the stale per-step flags would silently skip
+    this batch's signature append and re-apply the previous batch's staged
+    tables over the live store.  A pending journal for THIS same batch
+    (replay after a crash) is simply completed and the fold returns.
     """
     import json
+    import shutil
     from pathlib import Path
 
+    _require_local_base(base_path)
     journal = _journal_dir(base_path)
+    pending = pending_fold(base_path)
+    if pending is not None:
+        if pending == batch_fingerprint(new_sigs):
+            # replay of the interrupted batch itself: its inputs are already
+            # journaled — just complete the fold idempotently
+            _fold_steps(spark, cfg, base_path, table_prefix, _fail_after)
+            return
+        # a DIFFERENT batch's fold was interrupted: finish it from its own
+        # journal first, then proceed with this one
+        _fold_steps(spark, cfg, base_path, table_prefix, None)
+    elif Path(journal).exists():
+        # no marker but journal debris exists (crash mid-input-write, or a
+        # partially deleted journal): stale flags/staged dirs must not leak
+        # into this fold's step accounting
+        shutil.rmtree(journal, ignore_errors=True)
     # journal the re-fold inputs first — one extra batch-sized write, the
     # parquet-mode WAL
     new_sigs.write.mode("overwrite").parquet(f"{journal}/new_sigs")
@@ -197,6 +239,7 @@ def repair_fold(
     """Complete an interrupted ``fold_history`` from its journal — the
     executable form of the documented recovery contract.  No-op (False)
     when the store is clean; True when a pending fold was completed."""
+    _require_local_base(base_path)
     if pending_fold(base_path) is None:
         return False
     _fold_steps(spark, cfg, base_path, table_prefix, None)
@@ -446,6 +489,14 @@ def incremental_dedup(
         .filter(F.col("clip_id") != F.col("cluster_id"))
         .select(F.col("clip_id").alias("old_cluster_id"), "cluster_id")
     )
+    # hygiene: verified + comp are materialized above (localCheckpoint), so
+    # the salted expansion's internal shard caches are no longer referenced —
+    # release them here so EVERY caller (batch tools, the streaming sink's
+    # per-micro-batch loop) returns with zero cached residue instead of
+    # accumulating one shard frame per batch
+    from datasketches_pig_spark.operators.lsh import release_shard_caches
+
+    release_shard_caches()
     return IncrementalResult(
         assignments=assignments, merges=merges, verified=verified, new_sigs=new_sigs
     )

@@ -350,6 +350,17 @@ def word_ngram_hash_sets(
             f"word_ngram_hash_sets: char_fallback_n must be >= 2 or None, "
             f"got {char_fallback_n}"
         )
+    if char_fallback_n == n:
+        # equal window byte-lengths (8n) would let a word gram and a char
+        # gram genuinely collide (a single-char token's murmur equals that
+        # char's char hash), breaking the cross-script no-collision contract
+        # documented below — reject at construction like every other kernel
+        # arg check
+        raise ValueError(
+            f"word_ngram_hash_sets: char_fallback_n must differ from n "
+            f"(both {n}: word and char gram windows would share byte length "
+            "and could collide across scripts)"
+        )
     n_docs = len(texts)
     th, tok_counts = flat_token_hashes(texts, seed)
     gs, counts = _window_gram_hashes(th, tok_counts, n, seed)

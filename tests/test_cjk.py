@@ -153,3 +153,18 @@ def test_lang_id_zh(spark):
     assert out.loc[1, "l"] == "en"
     assert out.loc[2, "l"] == "zh"
     assert out.loc[3, "l"] == "ja"
+
+
+def test_char_fallback_n_equal_to_n_rejected():
+    """ADVICE r4 (low): char_fallback_n == n gives word and char gram windows
+    the same byte length (8n), so cross-script gram hashes could genuinely
+    collide — rejected at construction."""
+    import pytest
+
+    from datasketches_pig_spark.operators.signatures import word_ngram_hash_sets
+
+    with pytest.raises(ValueError, match="differ from n"):
+        word_ngram_hash_sets(["a b c"], 5, 9001, char_fallback_n=5)
+    # the default (n=3, fallback 5) and the disabled form stay valid
+    word_ngram_hash_sets(["a b c"], 3, 9001, char_fallback_n=5)
+    word_ngram_hash_sets(["a b c"], 5, 9001, char_fallback_n=None)

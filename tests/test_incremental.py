@@ -194,3 +194,136 @@ def test_fold_crash_recovery(spark, split_corpus, tmp_path_factory):
         assert snapshot(prefix) == want, f"store diverged after crash at {point}"
         # a second repair on the clean store is a no-op
         assert repair_fold(spark, cfg, base, prefix) is False, point
+
+
+def test_fold_entry_guard_replay_and_next_batch(spark, split_corpus, tmp_path_factory):
+    """ADVICE r4 (medium): fold_history called on a store with a PENDING
+    journal (a non-streaming caller crashed and never ran repair_fold) must
+    not let stale step flags skip this batch's append or re-apply stale
+    staged tables.  Two cases: a replay of the interrupted batch itself
+    completes from the journal; a DIFFERENT next batch first completes the
+    pending fold, then folds itself — both ending byte-equal to clean
+    sequential folds."""
+    from datasketches_pig_spark.incremental import fold_history, pending_fold
+
+    day1, day2, both = split_corpus
+    cfg = DedupConfig()
+    r1 = run_pipeline(spark, day1, cfg)
+    sigs1 = r1.stage_frames["signatures"].localCheckpoint()
+    clusters1 = r1.clusters.localCheckpoint()
+
+    day2_ids = sorted(r["clip_id"] for r in day2.select("clip_id").collect())
+    half = set(day2_ids[: len(day2_ids) // 2])
+    day2a = day2.filter(F.col("clip_id").isin(half)).localCheckpoint()
+    day2b = day2.filter(~F.col("clip_id").isin(half)).localCheckpoint()
+
+    def fresh_store(prefix, base):
+        for t in ("signatures", "band_buckets", "clusters"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+        save_history(spark, sigs1, clusters1, cfg, base, prefix, num_buckets=8)
+
+    def snapshot(prefix):
+        clusters = sorted(
+            (r["clip_id"], r["cluster_id"])
+            for r in spark.table(f"{prefix}_clusters").collect()
+        )
+        buckets = sorted(
+            (r["band_key"], tuple(r["members"]), r["bucket_n"], r["center"])
+            for r in spark.table(f"{prefix}_band_buckets").collect()
+        )
+        return clusters, buckets, spark.table(f"{prefix}_signatures").count()
+
+    # --- reference: clean sequential folds of batch A then batch B --------
+    refbase = str(tmp_path_factory.mktemp("guardref"))
+    fresh_store("guardref", refbase)
+    inc_a = incremental_dedup(
+        spark, day2a, cfg, "guardref",
+        old_transcripts=day1.select("clip_id", "transcript"),
+    )
+    a_inputs = (
+        inc_a.new_sigs.localCheckpoint(),
+        inc_a.assignments.localCheckpoint(),
+        inc_a.merges.localCheckpoint(),
+    )
+    fold_history(spark, *a_inputs, cfg, refbase, "guardref")
+    want_after_a = snapshot("guardref")
+    inc_b = incremental_dedup(
+        spark, day2b, cfg, "guardref",
+        old_transcripts=day1.select("clip_id", "transcript"),
+    )
+    b_inputs = (
+        inc_b.new_sigs.localCheckpoint(),
+        inc_b.assignments.localCheckpoint(),
+        inc_b.merges.localCheckpoint(),
+    )
+    fold_history(spark, *b_inputs, cfg, refbase, "guardref")
+    want_after_b = snapshot("guardref")
+
+    # --- case 1: replay of the interrupted batch via fold_history ---------
+    base = str(tmp_path_factory.mktemp("guardreplay"))
+    fresh_store("guardreplay", base)
+    with pytest.raises(RuntimeError, match="crash injected"):
+        fold_history(
+            spark, *a_inputs, cfg, base, "guardreplay", _fail_after="buckets_staged"
+        )
+    assert pending_fold(base) is not None
+    fold_history(spark, *a_inputs, cfg, base, "guardreplay")  # no repair_fold
+    assert pending_fold(base) is None
+    assert snapshot("guardreplay") == want_after_a
+
+    # --- case 2: a DIFFERENT next batch with a pending journal ------------
+    base = str(tmp_path_factory.mktemp("guardnext"))
+    fresh_store("guardnext", base)
+    with pytest.raises(RuntimeError, match="crash injected"):
+        fold_history(
+            spark, *a_inputs, cfg, base, "guardnext", _fail_after="signatures"
+        )
+    assert pending_fold(base) is not None
+    # entry guard must complete A's fold from its journal, then fold B
+    fold_history(spark, *b_inputs, cfg, base, "guardnext")
+    assert pending_fold(base) is None
+    assert snapshot("guardnext") == want_after_b
+
+
+def test_fold_rejects_remote_base(spark, split_corpus):
+    """ADVICE r4 (low): the journal's marker/flags are local-filesystem —
+    a remote base_path must fail loudly instead of silently not recovering."""
+    from datasketches_pig_spark.incremental import fold_history, repair_fold
+
+    day1, _, _ = split_corpus
+    cfg = DedupConfig()
+    dummy = day1.limit(1)
+    with pytest.raises(ValueError, match="local base_path"):
+        fold_history(spark, dummy, dummy, dummy, cfg, "s3a://bkt/x", "nope")
+    with pytest.raises(ValueError, match="local base_path"):
+        repair_fold(spark, cfg, "hdfs://nn/x", "nope")
+    # file:// is explicitly fine (still the local filesystem)
+    from datasketches_pig_spark.incremental import _require_local_base
+
+    _require_local_base("file:///tmp/x")
+    _require_local_base("/tmp/x")
+
+
+def test_incremental_releases_shard_caches(spark, split_corpus):
+    """ADVICE r4 (low): every incremental_dedup call (and therefore every
+    streaming micro-batch) must return with the salted expansion's shard
+    caches released — a long-running ingest must not accumulate one
+    persisted frame per batch."""
+    from datasketches_pig_spark.operators.lsh import _SHARD_CACHES
+
+    day1, day2, _ = split_corpus
+    cfg = DedupConfig()
+    for t in ("signatures", "band_buckets", "clusters"):
+        spark.sql(f"DROP TABLE IF EXISTS shrel_{t}")
+    r1 = run_pipeline(spark, day1, cfg)
+    save_history(
+        spark, r1.stage_frames["signatures"], r1.clusters, cfg,
+        str(spark.conf.get("spark.sql.warehouse.dir")).replace("file:", "")
+        + "/shrel_base",
+        "shrel", num_buckets=8,
+    )
+    incremental_dedup(
+        spark, day2, cfg, "shrel",
+        old_transcripts=day1.select("clip_id", "transcript"),
+    )
+    assert len(_SHARD_CACHES) == 0
