@@ -25,6 +25,14 @@ LANG_MARKERS: dict[str, list[str]] = {
     "fr": ["le", "les", "est", "une", "des"],
     "zh": ["的", "是", "了", "在", "我"],
     "ja": ["の", "は", "を", "た", "です"],
+    # r5 additions (VERDICT r4): ko is the interesting class — Hangul is
+    # space-delimited but the markers are non-ASCII, so they must match as
+    # plain characters (RE2 \b is ASCII-only and would never fire); ru/ar/hi
+    # are likewise non-ASCII-marker languages matched without \b
+    "ko": ["의", "는", "이", "을", "가"],
+    "ru": ["и", "в", "не", "на", "что"],
+    "ar": ["في", "من", "على", "أن", "هذا"],
+    "hi": ["है", "की", "में", "और", "का"],
 }
 
 

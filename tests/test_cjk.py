@@ -168,3 +168,43 @@ def test_char_fallback_n_equal_to_n_rejected():
     # the default (n=3, fallback 5) and the disabled form stay valid
     word_ngram_hash_sets(["a b c"], 3, 9001, char_fallback_n=5)
     word_ngram_hash_sets(["a b c"], 5, 9001, char_fallback_n=None)
+
+
+def test_lang_id_ko_ru_ar_hi(spark):
+    """r5 profiles.  Korean is the key class: Hangul IS space-delimited but
+    its markers are non-ASCII, so they must match without RE2's ASCII-only
+    \\b.  The Spark cascade and the generated DuckDB oracle SQL must agree
+    on every row (the lang_id gate query's contract, exercised here on a
+    corpus that actually hits the new profiles)."""
+    import duckdb
+
+    from datasketches_pig_spark.queries import _sql_lang_id
+    from datasketches_pig_spark.textops.analysis import lang_id
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5],
+            "text": [
+                "나는 학교에 간다 그는 책을 읽는다 우리의 집이 좋다",  # ko, spaces
+                "я не знаю что это в доме на столе и больше",           # ru
+                "هذا الكتاب من المكتبة وهو على الطاولة في البيت",      # ar
+                "यह किताब मेरी है और वह मेज़ में की गई का काम",          # hi
+                "the cat is on the mat and the dog",                     # en still wins
+                "no markers here xyzzy",                                 # und
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = df.select("doc_id", lang_id("text").alias("l")).toPandas().set_index("doc_id")
+    assert out.loc[0, "l"] == "ko"
+    assert out.loc[1, "l"] == "ru"
+    assert out.loc[2, "l"] == "ar"
+    assert out.loc[3, "l"] == "hi"
+    assert out.loc[4, "l"] == "en"
+    assert out.loc[5, "l"] == "und"
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    got = con.execute(_sql_lang_id()).fetchdf().set_index("doc_id")
+    for i in pdf["doc_id"]:
+        assert got.loc[i, "pred_lang"] == out.loc[i, "l"], i
