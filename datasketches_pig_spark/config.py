@@ -39,6 +39,12 @@ class DedupConfig:
                                      # (negatives ≤ ~0.13/0.20 exact; ≥4σ of
                                      # KMV estimation noise below this bar)
     simhash_max_hamming: int = 12    # SimHash prefilter (of 64 bits)
+    verify_prefix: int | None = 64   # prefix-KMV verify: tier-1 ships only
+                                     # the first `verify_prefix` sketch
+                                     # hashes; pairs whose KL confidence
+                                     # bounds cannot certify the composite
+                                     # rule fetch the full sketch (None =
+                                     # single-tier full-sketch verify)
     snr_db: float = 30.0             # decoded-PCM invariant bar
     max_bucket_size: int = 64        # LSH bucket cap before salting/split
     verify_max_shingles: int = 8192  # cap on shingle-set size shipped to verify
@@ -60,6 +66,14 @@ class DedupConfig:
             raise ValueError("jaccard_threshold must be in (0, 1]")
         if self.shingle_k_text < 1 or self.shingle_k_audio < 1:
             raise ValueError("shingle sizes must be >= 1")
+        if self.verify_prefix is not None and not (
+            16 <= self.verify_prefix < self.kmv_k
+        ):
+            raise ValueError(
+                f"verify_prefix must be None or in [16, kmv_k) — a prefix of "
+                f"{self.verify_prefix} against kmv_k={self.kmv_k} is either "
+                "too noisy to bound or not a prefix at all"
+            )
 
     def config_hash(self) -> str:
         """Deterministic hash of the full config — stamped into lineage rows."""

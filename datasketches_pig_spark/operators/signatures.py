@@ -52,20 +52,19 @@ def kmv_jaccard(a: np.ndarray, b: np.ndarray, k: int) -> float:
     return float(n_hits) / float(len(union)) if len(union) else 0.0
 
 
-def kmv_jaccard_batch(
+def kmv_pair_stats(
     a_vals: np.ndarray,
     a_counts: np.ndarray,
     b_vals: np.ndarray,
     b_counts: np.ndarray,
     k: int,
-) -> np.ndarray:
-    """Vectorized ``kmv_jaccard`` over a batch of pairs — no per-pair Python.
-
-    Inputs are the concatenated per-pair bottom-k sketches (each pair's slice
-    sorted unique uint64, as ``kmv_bottom_k`` emits) with per-pair lengths.
-    Semantics identical to ``kmv_jaccard``: take the k smallest of the union;
-    the fraction of those present in both sketches estimates J (exact when
-    both sides are in exact mode).
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-pair KMV union statistics over a batch: ``(hits, denom, union)``
+    where ``union`` is the size of the merged sketch union, ``denom`` is
+    ``min(union, k)`` and ``hits`` counts union elements within the bottom-k
+    of the union that appear in BOTH sketches — the raw ingredients of the
+    KMV Jaccard estimate (``kmv_jaccard_batch``) and of the prefix-verify
+    confidence bounds (``operators/verify.py``).
 
     Method: one global lexsort of (pair_id, value) over both sides, then the
     per-pair union ranks and duplicate flags fall out of adjacent-element
@@ -73,7 +72,8 @@ def kmv_jaccard_batch(
     """
     n_pairs = len(a_counts)
     if n_pairs == 0:
-        return np.zeros(0)
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
     pid = np.concatenate(
         [
             np.repeat(np.arange(n_pairs, dtype=np.int64), a_counts),
@@ -112,11 +112,32 @@ def kmv_jaccard_batch(
     hit_pos = hit_pos[rank[hit_pos - 1] < k]
     hits = np.zeros(n_pairs, dtype=np.int64)
     np.add.at(hits, gidx[hit_pos], 1)
+    return hits, denom, union_sizes
 
+
+def kmv_jaccard_batch(
+    a_vals: np.ndarray,
+    a_counts: np.ndarray,
+    b_vals: np.ndarray,
+    b_counts: np.ndarray,
+    k: int,
+) -> np.ndarray:
+    """Vectorized ``kmv_jaccard`` over a batch of pairs — no per-pair Python.
+
+    Inputs are the concatenated per-pair bottom-k sketches (each pair's slice
+    sorted unique uint64, as ``kmv_bottom_k`` emits) with per-pair lengths.
+    Semantics identical to ``kmv_jaccard``: take the k smallest of the union;
+    the fraction of those present in both sketches estimates J (exact when
+    both sides are in exact mode).  Stats via ``kmv_pair_stats``.
+    """
+    n_pairs = len(a_counts)
+    if n_pairs == 0:
+        return np.zeros(0)
+    a_counts = np.asarray(a_counts, dtype=np.int64)
+    b_counts = np.asarray(b_counts, dtype=np.int64)
+    hits, denom, _ = kmv_pair_stats(a_vals, a_counts, b_vals, b_counts, k)
     out = np.zeros(n_pairs)
-    nz = denom > 0
-    both = (a_counts > 0) & (b_counts > 0)
-    use = nz & both
+    use = (denom > 0) & (a_counts > 0) & (b_counts > 0)
     out[use] = hits[use] / denom[use]
     return out
 

@@ -31,10 +31,20 @@ from pyspark.sql import DataFrame
 
 from datasketches_pig_spark.config import DedupConfig
 from datasketches_pig_spark.operators.shingle import normalize_text
-from datasketches_pig_spark.operators.signatures import kmv_jaccard_batch
+from datasketches_pig_spark.operators.signatures import (
+    kmv_jaccard_batch,
+    kmv_pair_stats,
+)
 
 AUDIO_JACCARD_THRESHOLD = 0.5
 PREFILTER_HAMMING = 26  # of 64 bits; clear-negative cutoff, recall-safe
+
+# prefix-verify misroute probability per (pair, modality, bound side): a pair
+# whose true full-sketch estimate sits beyond the bound is tier-1-decided
+# "wrong" (vs the full verify) with at most this probability — at 1e-9 even
+# a 10^9-candidate day processes with ~1 expected misroute, far inside the
+# recall ≥ 0.99 budget, and on the seeded test corpora parity is exact
+PREFIX_DELTA = 1e-9
 
 VERIFIED_SCHEMA = (
     "a string, b string, text_jaccard double, audio_jaccard double, "
@@ -135,73 +145,73 @@ def _gather(col: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     return vals, counts
 
 
-def verify_pairs(
-    pairs: DataFrame,
-    signatures: DataFrame,
-    cfg: DedupConfig,
-    transcripts: DataFrame | None = None,
+def _kl_div(p: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Elementwise Bernoulli KL divergence kl(p ‖ q), safe at p ∈ {0, 1}."""
+    q = np.clip(q, 1e-15, 1 - 1e-15)
+    out = np.zeros_like(q, dtype=np.float64)
+    pos = p > 0
+    out[pos] += p[pos] * np.log(p[pos] / q[pos])
+    lt1 = p < 1
+    out[lt1] += (1 - p[lt1]) * np.log((1 - p[lt1]) / (1 - q[lt1]))
+    return out
+
+
+def binomial_kl_bounds(
+    est: np.ndarray, n: np.ndarray, delta: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized Chernoff-KL confidence interval for a binomial/hyper-
+    geometric mean: the largest (smallest) q with n·kl(est ‖ q) ≤ ln(1/δ).
+
+    This is the bound that makes prefix-KMV verify sound: the prefix hit
+    count is a without-replacement sample of the membership indicators the
+    full-sketch estimate averages (hash order is a uniform permutation of
+    the union), so hypergeometric tails apply and are dominated by the
+    binomial Chernoff bound inverted here.  40 bisection steps, pure numpy
+    over the whole batch.  Rows with n == 0 get the vacuous [0, 1]."""
+    est = np.asarray(est, dtype=np.float64)
+    n = np.asarray(n, dtype=np.float64)
+    budget = np.full_like(est, np.inf)
+    nz = n > 0
+    budget[nz] = np.log(1.0 / delta) / n[nz]
+
+    # ub: bisect on [est, 1]; hi converges to the boundary from OUTSIDE the
+    # feasible set, i.e. conservatively large — the safe side for an upper
+    # bound (symmetrically lo for the lower bound)
+    lo, hi = est.copy(), np.ones_like(est)
+    for _ in range(40):
+        mid = 0.5 * (lo + hi)
+        over = _kl_div(est, mid) > budget
+        hi = np.where(over, mid, hi)
+        lo = np.where(over, lo, mid)
+    ub = np.where(nz, hi, 1.0)
+
+    lo, hi = np.zeros_like(est), est.copy()
+    for _ in range(40):
+        mid = 0.5 * (lo + hi)
+        over = _kl_div(est, mid) > budget
+        lo = np.where(over, mid, lo)
+        hi = np.where(over, hi, mid)
+    lb = np.where(nz, lo, 0.0)
+    return lb, ub
+
+
+_PREFIX_SCHEMA = (
+    "a string, b string, text_hamming int, audio_hamming int, "
+    "t_est double, t_lb double, t_ub double, "
+    "a_est double, a_lb double, a_ub double"
+)
+
+
+def _score_full(
+    slim_pairs: DataFrame, signatures: DataFrame, kmv_k: int
 ) -> DataFrame:
-    """candidate (a, b) pairs + signatures → verified pairs with scores.
+    """(a, b, hammings) pairs ⋈ FULL KMV sketches → Arrow-scored estimates.
 
-    ``transcripts`` is any frame with (clip_id, transcript) — normally the
-    source clips table (column-pruned scan); only the borderline rows join it.
-
-    Data-volume design (the 100 TB concern): exact-key equality and the
-    SimHash Hamming prefilter run **JVM-side** (``bit_count(xor)``, codegen),
-    so clear negatives and byte-identical pairs never ship their KMV sketches
-    across the Arrow boundary; transcripts are joined only for the tiny
-    borderline set that needs the suffix-array containment check.
-    """
-    if transcripts is not None and "transcript" not in transcripts.columns:
-        raise ValueError(
-            "verify_pairs: transcripts frame must have a 'transcript' column; "
-            f"got {transcripts.columns}"
-        )
-    kmv_k = cfg.kmv_k
-    text_thr = cfg.jaccard_threshold
-    near = cfg.near_exact_threshold
-    weak = cfg.weak_support_threshold
-
-    # slim pass first: exact-key + SimHash columns are ~50 B/pair, so the
-    # prefilter decision never touches the ~8 KB/pair KMV payload; only the
-    # surviving pairs join it (second, smaller join)
-    slim_cols = ["clip_id", "exact_key", "text_simhash", "audio_simhash"]
-    slim = signatures.select(*slim_cols)
-    sa = slim.select(*[F.col(c).alias(f"a_{c}") for c in slim_cols])
-    sb = slim.select(*[F.col(c).alias(f"b_{c}") for c in slim_cols])
-    joined = (
-        pairs.join(sa, pairs.a == sa.a_clip_id)
-        .join(sb, pairs.b == sb.b_clip_id)
-        .select(
-            "a",
-            "b",
-            (F.col("a_exact_key") == F.col("b_exact_key")).alias("exact"),
-            F.bit_count(
-                F.col("a_text_simhash").bitwiseXOR(F.col("b_text_simhash"))
-            ).cast("int").alias("text_hamming"),
-            F.bit_count(
-                F.col("a_audio_simhash").bitwiseXOR(F.col("b_audio_simhash"))
-            ).cast("int").alias("audio_hamming"),
-        )
-    )
-
-    # prefilter: clear negatives skip set math entirely (recall-safe: dup
-    # pairs at J≥0.5 sit far below this Hamming bar); exact pairs skip too
-    needs = (~F.col("exact")) & (
-        (F.col("text_hamming") <= PREFILTER_HAMMING)
-        | (F.col("audio_hamming") <= PREFILTER_HAMMING)
-    )
-
-    passthrough = joined.filter(~needs).select(
-        "a",
-        "b",
-        F.when(F.col("exact"), F.lit(1.0)).otherwise(F.lit(0.0)).alias("text_jaccard"),
-        F.when(F.col("exact"), F.lit(1.0)).otherwise(F.lit(0.0)).alias("audio_jaccard"),
-        "text_hamming",
-        "audio_hamming",
-        F.lit(False).alias("substr_ok"),
-        F.col("exact").alias("is_dup"),
-    )
+    materialize: consumed by both the borderline and plain branches — the
+    Arrow scoring pass must not run twice (rows are 6 scalars, tiny).
+    localCheckpoint, NOT persist: with a lazy cache the two consumer stages
+    race inside one job and double-compute partitions before the cache
+    lands (measured: 2-core verify 8.9s -> 11.1s with persist)."""
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -233,21 +243,24 @@ def verify_pairs(
         F.col("text_kmv").alias("b_text_kmv"),
         F.col("audio_kmv").alias("b_audio_kmv"),
     )
-
-    # materialize: consumed by both the borderline and plain branches — the
-    # Arrow scoring pass must not run twice (rows are 6 scalars, tiny).
-    # localCheckpoint, NOT persist: with a lazy cache the two consumer stages
-    # race inside one job and double-compute partitions before the cache
-    # lands (measured: 2-core verify 8.9s -> 11.1s with persist)
-    scored = (
-        joined.filter(needs)
-        .select("a", "b", "text_hamming", "audio_hamming")
-        .join(ka, "a")
+    return (
+        slim_pairs.join(ka, "a")
         .join(kb, "b")
         .mapInPandas(score, schema=_JACCARD_SCHEMA)
         .localCheckpoint()
     )
 
+
+def _finish_scored(
+    scored: DataFrame,
+    signatures: DataFrame,
+    transcripts: DataFrame | None,
+    near: float,
+    weak: float,
+    text_thr: float,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-scored pairs → (plain_scored, border_scored) with the
+    suffix-array substring check applied to the borderline band."""
     # borderline text next to strong audio → suffix-array containment check;
     # only these rows ever see a transcript
     is_border = (
@@ -267,7 +280,7 @@ def verify_pairs(
             "substr_ok", F.lit(False)
         )
         plain_scored = scored.filter(~is_border).withColumn("substr_ok", F.lit(False))
-        return _decide(passthrough, plain_scored, border_scored, near, weak, text_thr)
+        return plain_scored, border_scored
     ta = tsrc.select(F.col("clip_id").alias("a"), F.col("transcript").alias("a_transcript"))
     tb = tsrc.select(F.col("clip_id").alias("b"), F.col("transcript").alias("b_transcript"))
     # left joins: a candidate whose clip_id is missing from the transcript
@@ -297,7 +310,257 @@ def verify_pairs(
         substr_check, schema=_JACCARD_SCHEMA + ", substr_ok boolean"
     )
     plain_scored = scored.filter(~is_border).withColumn("substr_ok", F.lit(False))
-    return _decide(passthrough, plain_scored, border_scored, near, weak, text_thr)
+    return plain_scored, border_scored
+
+
+def _prefix_scorer(p: int, delta: float):
+    """Arrow kernel for tier 1: prefix sketches (+ sketch-equality flags) →
+    per-modality (estimate, lower bound, upper bound) on the FULL-sketch
+    estimate the exact verifier would compute."""
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {
+                "a": pdf["a"].values,
+                "b": pdf["b"].values,
+                "text_hamming": pdf["text_hamming"].values,
+                "audio_hamming": pdf["audio_hamming"].values,
+            }
+            for mod, tag in (("text", "t"), ("audio", "a")):
+                va, ca = _gather(pdf[f"a_{mod}_p"])
+                vb, cb = _gather(pdf[f"b_{mod}_p"])
+                hits, denom, union = kmv_pair_stats(va, ca, vb, cb, p)
+                est = np.zeros(len(pdf))
+                use = (denom > 0) & (ca > 0) & (cb > 0)
+                est[use] = hits[use] / denom[use]
+                lb, ub = binomial_kl_bounds(est, denom, delta)
+                # deterministic rows — the prefix value IS the full value:
+                # * an empty side → the exact verifier returns 0.0 by
+                #   convention
+                # * both prefixes complete (< p retained ⇒ the side's whole
+                #   shingle set) and union untruncated → exact Jaccard
+                # * identical full sketches (8-byte hash equality from the
+                #   slim pass) → full estimate 1.0
+                known = (ca == 0) | (cb == 0) | ((ca < p) & (cb < p) & (union <= p))
+                lb[known] = est[known]
+                ub[known] = est[known]
+                eq = pdf[f"{mod}_eq"].to_numpy(dtype=bool)
+                est[eq] = 1.0
+                lb[eq] = 1.0
+                ub[eq] = 1.0
+                out[f"{tag}_est"] = est
+                out[f"{tag}_lb"] = lb
+                out[f"{tag}_ub"] = ub
+            yield pd.DataFrame(out)
+
+    return score
+
+
+def verify_pairs(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    cfg: DedupConfig,
+    transcripts: DataFrame | None = None,
+) -> DataFrame:
+    """candidate (a, b) pairs + signatures → verified pairs with scores.
+
+    ``transcripts`` is any frame with (clip_id, transcript) — normally the
+    source clips table (column-pruned scan); only the borderline rows join it.
+
+    Data-volume design (the 100 TB concern), three tiers of payload:
+
+    1. **Slim prefilter (JVM, ~66 B/pair)** — exact-key equality, SimHash
+       Hamming (``bit_count(xor)``, codegen) and 8-byte xxhash64 digests of
+       each full KMV sketch.  Clear negatives and byte-identical pairs never
+       ship a sketch; pairs whose BOTH sketch digests match are accepted
+       outright (identical sketches ⇒ both estimates are exactly 1.0).
+    2. **Prefix-KMV verify (Arrow, ``cfg.verify_prefix`` hashes/side —
+       default 64 of kmv_k=256, a 4× cut in the dominant shuffle bytes)** —
+       the prefix hit count is a without-replacement sample of the
+       indicators the full estimate averages, so Chernoff-KL bounds at
+       ``PREFIX_DELTA`` certify clear accepts/rejects of the composite rule
+       against the FULL-sketch decision; rows where the prefix is provably
+       the whole answer (complete sets, identical sketches, empty sides)
+       carry zero-width bounds.
+    3. **Full-sketch verify + suffix-array containment** — only the pairs
+       the bounds could not certify (near-threshold scores) fetch the full
+       ~2 KB/side sketches, and of those only the borderline band joins a
+       transcript.
+
+    ``cfg.verify_prefix = None`` collapses to the single-tier full-sketch
+    verify (tier 3 for every surviving pair) — the parity baseline.
+    """
+    if transcripts is not None and "transcript" not in transcripts.columns:
+        raise ValueError(
+            "verify_pairs: transcripts frame must have a 'transcript' column; "
+            f"got {transcripts.columns}"
+        )
+    kmv_k = cfg.kmv_k
+    text_thr = cfg.jaccard_threshold
+    near = cfg.near_exact_threshold
+    weak = cfg.weak_support_threshold
+    prefix = cfg.verify_prefix
+
+    # slim pass first: exact-key + SimHash + sketch-digest columns are tens
+    # of bytes/pair, so the prefilter decision never touches the KMV payload;
+    # only the surviving pairs join it (second, smaller join)
+    slim_cols = ["clip_id", "exact_key", "text_simhash", "audio_simhash"]
+    # sketch digests are NULL for empty sketches, so plain (non-null-safe)
+    # equality already encodes "identical AND non-empty" — no extra size
+    # columns ride the per-pair exchanges
+    slim = signatures.select(
+        *slim_cols,
+        F.when(F.size("text_kmv") > 0, F.xxhash64("text_kmv")).alias("text_kmv_h"),
+        F.when(F.size("audio_kmv") > 0, F.xxhash64("audio_kmv")).alias("audio_kmv_h"),
+    )
+    all_slim = slim_cols + ["text_kmv_h", "audio_kmv_h"]
+    sa = slim.select(*[F.col(c).alias(f"a_{c}") for c in all_slim])
+    sb = slim.select(*[F.col(c).alias(f"b_{c}") for c in all_slim])
+    joined = (
+        pairs.join(sa, pairs.a == sa.a_clip_id)
+        .join(sb, pairs.b == sb.b_clip_id)
+        .select(
+            "a",
+            "b",
+            (F.col("a_exact_key") == F.col("b_exact_key")).alias("exact"),
+            F.bit_count(
+                F.col("a_text_simhash").bitwiseXOR(F.col("b_text_simhash"))
+            ).cast("int").alias("text_hamming"),
+            F.bit_count(
+                F.col("a_audio_simhash").bitwiseXOR(F.col("b_audio_simhash"))
+            ).cast("int").alias("audio_hamming"),
+            F.coalesce(
+                F.col("a_text_kmv_h") == F.col("b_text_kmv_h"), F.lit(False)
+            ).alias("text_eq"),
+            F.coalesce(
+                F.col("a_audio_kmv_h") == F.col("b_audio_kmv_h"), F.lit(False)
+            ).alias("audio_eq"),
+        )
+    )
+
+    # prefilter: clear negatives skip set math entirely (recall-safe: dup
+    # pairs at J≥0.5 sit far below this Hamming bar); exact pairs skip too
+    needs = (~F.col("exact")) & (
+        (F.col("text_hamming") <= PREFILTER_HAMMING)
+        | (F.col("audio_hamming") <= PREFILTER_HAMMING)
+    )
+
+    passthrough = joined.filter(~needs).select(
+        "a",
+        "b",
+        F.when(F.col("exact"), F.lit(1.0)).otherwise(F.lit(0.0)).alias("text_jaccard"),
+        F.when(F.col("exact"), F.lit(1.0)).otherwise(F.lit(0.0)).alias("audio_jaccard"),
+        "text_hamming",
+        "audio_hamming",
+        F.lit(False).alias("substr_ok"),
+        F.col("exact").alias("is_dup"),
+    )
+    out_cols = passthrough.columns
+
+    if prefix is None:
+        scored = _score_full(
+            joined.filter(needs).select("a", "b", "text_hamming", "audio_hamming"),
+            signatures,
+            kmv_k,
+        )
+        plain_scored, border_scored = _finish_scored(
+            scored, signatures, transcripts, near, weak, text_thr
+        )
+        return _decide(passthrough, plain_scored, border_scored, near, weak, text_thr)
+
+    # three consumers below (passthrough, eq-accepts, prefix input) — one
+    # slim-join pass instead of three; ~100 B/pair materialized
+    joined = joined.localCheckpoint()
+
+    # ---- tier 1: both sketches identical → accept without any Arrow work
+    both_eq = F.col("text_eq") & F.col("audio_eq")
+    eq_accepts = joined.filter(needs & both_eq).select(
+        "a",
+        "b",
+        F.lit(1.0).alias("text_jaccard"),
+        F.lit(1.0).alias("audio_jaccard"),
+        "text_hamming",
+        "audio_hamming",
+        F.lit(False).alias("substr_ok"),
+        F.lit(True).alias("is_dup"),
+    )
+
+    # ---- tier 1.5: prefix sketches + bounds (the big shuffle, p/k the size)
+    kp = signatures.select(
+        "clip_id",
+        F.slice("text_kmv", 1, prefix).alias("text_p"),
+        F.slice("audio_kmv", 1, prefix).alias("audio_p"),
+    )
+    kap = kp.select(
+        F.col("clip_id").alias("a"),
+        F.col("text_p").alias("a_text_p"),
+        F.col("audio_p").alias("a_audio_p"),
+    )
+    kbp = kp.select(
+        F.col("clip_id").alias("b"),
+        F.col("text_p").alias("b_text_p"),
+        F.col("audio_p").alias("b_audio_p"),
+    )
+    # localCheckpoint: three consumers below (accept/reject/borderline)
+    prefix_scored = (
+        joined.filter(needs & ~both_eq)
+        .select("a", "b", "text_hamming", "audio_hamming", "text_eq", "audio_eq")
+        .join(kap, "a")
+        .join(kbp, "b")
+        .mapInPandas(_prefix_scorer(prefix, PREFIX_DELTA), schema=_PREFIX_SCHEMA)
+        .localCheckpoint()
+    )
+
+    # certain accept: lower bounds satisfy a substr-free disjunct of the
+    # composite rule; certain reject: upper bounds refute every disjunct
+    # (d2's substring alternative means reject may use only the audio bound)
+    t_lb, t_ub = F.col("t_lb"), F.col("t_ub")
+    a_lb, a_ub = F.col("a_lb"), F.col("a_ub")
+    accept = (
+        ((t_lb >= near) & (a_lb >= weak))
+        | ((a_lb >= near) & (t_lb >= weak))
+        | ((t_lb >= text_thr) & (a_lb >= 0.6))
+    )
+    reject = ~(
+        ((t_ub >= near) & (a_ub >= weak))
+        | (a_ub >= near)
+        | ((t_ub >= text_thr) & (a_ub >= 0.6))
+    )
+
+    def _emit(df: DataFrame, is_dup_col) -> DataFrame:
+        return df.select(
+            "a",
+            "b",
+            F.col("t_est").alias("text_jaccard"),
+            F.col("a_est").alias("audio_jaccard"),
+            "text_hamming",
+            "audio_hamming",
+            F.lit(False).alias("substr_ok"),
+            is_dup_col.alias("is_dup"),
+        )
+
+    t1_accepts = _emit(prefix_scored.filter(accept), F.lit(True))
+    t1_rejects = _emit(prefix_scored.filter(~accept & reject), F.lit(False))
+
+    # ---- tier 2: only the uncertifiable remainder fetches full sketches
+    borderline = prefix_scored.filter(~accept & ~reject).select(
+        "a", "b", "text_hamming", "audio_hamming"
+    )
+    scored = _score_full(borderline, signatures, kmv_k)
+    plain_scored, border_scored = _finish_scored(
+        scored, signatures, transcripts, near, weak, text_thr
+    )
+    decided = _decide(
+        passthrough, plain_scored, border_scored, near, weak, text_thr
+    )
+    return (
+        decided.select(*out_cols)
+        .unionByName(eq_accepts.select(*out_cols))
+        .unionByName(t1_accepts.select(*out_cols))
+        .unionByName(t1_rejects.select(*out_cols))
+    )
 
 
 def _decide(
