@@ -180,7 +180,9 @@ def ngram_jaccard_pairs(
     )
 
 
-MINHASH_SCHEMA = "id long, minhash array<long>, simhash long, n_shingles int"
+MINHASH_SCHEMA = (
+    "id long, bands array<long>, simhash long, n_shingles int, kmv array<long>"
+)
 
 
 def minhash_stage(
@@ -191,39 +193,63 @@ def minhash_stage(
     num_perm: int = 128,
     seed: int = 9001,
     char_fallback_n: int | None = 5,
+    band_count: int = 32,
+    rows_per_band: int = 4,
+    kmv_prefix: int = 64,
 ) -> DataFrame:
-    """(id, minhash, simhash, n_shingles) via the flat-array shingle kernel
-    (``word_ngram_hash_sets``: batch tokenize → token murmur → window-of-
-    token-hashes gram murmur → one lexsort dedup) — one Arrow pass, no
-    shuffle, no per-doc Python loop.  Docs with < n tokens shingle as char
-    ``char_fallback_n``-grams (the no-space-script fallback)."""
+    """(id, bands, simhash, n_shingles, kmv) via the flat-array shingle
+    kernel (``word_ngram_hash_sets``: batch tokenize → token murmur →
+    window-of-token-hashes gram murmur → one lexsort dedup) — one Arrow
+    pass, no shuffle, no per-doc Python loop.  Docs with < n tokens shingle
+    as char ``char_fallback_n``-grams (the no-space-script fallback).
+
+    r5: the 128-perm MinHash signature is folded into ``band_count`` 64-bit
+    band keys INSIDE the pass (the same rule the clip pipeline's
+    ``signature_stage`` follows — the signature itself never leaves the
+    kernel, 32 longs travel instead of 128), and each doc also emits
+    ``kmv`` — the bottom-``kmv_prefix`` of its distinct gram hashes (the
+    per-doc segments come out of the kernel already uint64-sorted, so the
+    prefix is a zero-cost slice).  ``n_shingles`` stays the EXACT distinct
+    gram count; together they power the prefix-verify prefilter in
+    ``minhash_dedup_pairs``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if not len(pdf):
+                continue
             concat, counts = word_ngram_hash_sets(
                 list(pdf[text_col]), n, seed, char_fallback_n
             )
             mh = minhash_signatures(concat, counts, num_perm, seed)
+            bh = band_hashes(mh, band_count, rows_per_band, seed)
             sh = simhash64(concat, counts)
+            # bottom-kmv_prefix per doc: segments are already sorted uint64
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            within = np.arange(len(concat), dtype=np.int64) - np.repeat(
+                starts, counts
+            )
+            kflat = concat[within < kmv_prefix].view(np.int64)
+            kcounts = np.minimum(counts, kmv_prefix)
+            offs = np.concatenate([[0], np.cumsum(kcounts)]).astype(np.int64)
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].astype("int64"),
-                    "minhash": list(mh.view(np.int64)),
+                    "bands": list(bh.view(np.int64)),
                     "simhash": sh,
                     "n_shingles": counts.astype(np.int32),
+                    "kmv": [
+                        kflat[offs[i] : offs[i + 1]] for i in range(len(pdf))
+                    ],
                 }
             )
 
     return df.select(id_col, text_col).mapInPandas(run, schema=MINHASH_SCHEMA)
 
 
-def minhash_lsh_candidates(
-    sigs: DataFrame,
-    band_count: int = 32,
-    rows_per_band: int = 4,
-    seed: int = 9001,
-) -> DataFrame:
-    """(a, b) candidate pairs from band-bucket equality.
+def minhash_lsh_candidates(sigs: DataFrame, cap: int = 64) -> DataFrame:
+    """(a, b) candidate pairs from band-bucket equality — now a pure
+    relational explode of the precomputed band keys (whole-stage codegen, no
+    Python) feeding the salted single-shuffle bucket expansion.
 
     Recall contract (same shape as ``simhash_near_pairs``): complete while no
     band bucket exceeds the expansion cap.  Band keys are 64-bit hashes of
@@ -231,31 +257,17 @@ def minhash_lsh_candidates(
     band — a mass-duplicate cluster, where the salted expansion star-links
     and the downstream Jaccard verify may drop borderline (non-center) pairs;
     pair recall above the cap is approximate."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            pdf = pdf[pdf["n_shingles"] > 0]
-            if not len(pdf):
-                continue
-            sig = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["minhash"]]).view(
-                np.uint64
-            )
-            bh = band_hashes(sig, band_count, rows_per_band, seed)
-            yield pd.DataFrame(
-                {
-                    "id": np.repeat(pdf["id"].values, band_count),
-                    "band_key": bh.reshape(-1).view(np.int64),
-                }
-            )
-
-    bands = sigs.select("id", "minhash", "n_shingles").mapInPandas(
-        run, "id long, band_key long"
+    bands = sigs.filter(F.col("n_shingles") > 0).select(
+        "id", F.explode("bands").alias("band_key")
     )
     # salted single-shuffle bucket expansion (same operator as the clip
     # pipeline: hot buckets star-link, small buckets exact all-pairs)
     from datasketches_pig_spark.operators.lsh import bucket_pairs
 
-    return bucket_pairs(bands, "band_key", "id", cap=64).distinct()
+    return bucket_pairs(bands, "band_key", "id", cap=cap).distinct()
+
+
+_PREFIX_REJECT_DELTA = 1e-12  # per-pair misroute probability of the KL reject
 
 
 def minhash_dedup_pairs(
@@ -267,6 +279,7 @@ def minhash_dedup_pairs(
     num_perm: int = 128,
     seed: int = 9001,
     char_fallback_n: int | None = 5,
+    prefix_verify: int | None = 64,
 ) -> DataFrame:
     """MinHash-LSH candidates, exact-verified by a shingle join restricted to
     candidates (the scale path: quadratic work only inside LSH buckets).
@@ -279,12 +292,45 @@ def minhash_dedup_pairs(
     Docs with < n tokens (CJK / no-space scripts) shingle as char
     ``char_fallback_n``-grams in BOTH the signature kernel and the exact
     verify (``word_ngrams`` applies the same fallback), so their Jaccard is
-    char-gram Jaccard and their near-dups are found like everyone else's."""
+    char-gram Jaccard and their near-dups are found like everyone else's.
+
+    **Prefix verify (r5, ``prefix_verify`` = the stage's bottom-p KMV
+    width):** before any shingle materializes, candidate pairs pass through
+    two cheap screens —
+
+    1. size-ratio (JVM, 4 B/side): J ≤ min(|A|,|B|)/max(|A|,|B|) with the
+       EXACT distinct-gram counts from the signature pass — a deterministic
+       reject, zero false drops by algebra;
+    2. bottom-p KMV (Arrow, ≤ 8p B/side): pairs whose prefix union fits in
+       p with both sides complete get their EXACT Jaccard emitted directly
+       (hits/union is the same integer division the gram join would
+       compute) and skip the join; other pairs are rejected when the
+       inverted Chernoff-KL upper bound at δ = 1e-12 sits below the
+       threshold.
+
+    Only the surviving uncertain pairs — near-threshold, large-doc — reach
+    the gram join, so the O(|doc| · pairs) shingle shuffle shrinks to the
+    pairs that genuinely need it.  ``prefix_verify=None`` restores the
+    join-everything baseline (the parity reference)."""
     from datasketches_pig_spark.operators.lsh import release_shard_caches
 
-    sigs = minhash_stage(df, id_col, text_col, n, num_perm, seed, char_fallback_n)
-    cands = minhash_lsh_candidates(sigs, seed=seed).localCheckpoint()
+    sigs = minhash_stage(
+        df, id_col, text_col, n, num_perm, seed, char_fallback_n,
+        kmv_prefix=prefix_verify or 64,
+    )
+    if prefix_verify is not None:
+        # two consumers (candidates + prefilter joins): materialize the slim
+        # signature rows once so the Arrow shingle pass runs exactly once
+        sigs = sigs.localCheckpoint()
+    cands = minhash_lsh_candidates(sigs).localCheckpoint()
     release_shard_caches()  # cands is materialized; drop the shard cache
+
+    exact_prefix = None
+    if prefix_verify is not None:
+        cands, exact_prefix = _prefix_screen(
+            cands, sigs, threshold, prefix_verify
+        )
+
     cand_ids = (
         cands.select(F.col("a").alias(id_col))
         .unionByName(cands.select(F.col("b").alias(id_col)))
@@ -303,7 +349,7 @@ def minhash_dedup_pairs(
     )
     sa = sizes.select(F.col("id").alias("a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("id").alias("b"), F.col("n_sh").alias("nb"))
-    return (
+    joined = (
         common.join(sa, "a")
         .join(sb, "b")
         .withColumn(
@@ -313,6 +359,74 @@ def minhash_dedup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+    if exact_prefix is not None:
+        joined = joined.unionByName(exact_prefix)
+    return joined
+
+
+def _prefix_screen(
+    cands: DataFrame, sigs: DataFrame, threshold: float, p: int
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate pairs → (uncertain pairs for the gram join, exact-by-prefix
+    accepted pairs).  See ``minhash_dedup_pairs`` docstring."""
+    from datasketches_pig_spark.operators.signatures import kmv_pair_stats
+    from datasketches_pig_spark.operators.verify import binomial_kl_bounds
+
+    sz = sigs.select("id", "n_shingles")
+    sized = (
+        cands.join(sz.select(F.col("id").alias("a"), F.col("n_shingles").alias("na")), "a")
+        .join(sz.select(F.col("id").alias("b"), F.col("n_shingles").alias("nb")), "b")
+        # deterministic size-ratio reject: J <= min/max regardless of overlap
+        .filter(
+            F.least("na", "nb") >= F.lit(threshold) * F.greatest("na", "nb")
+        )
+    )
+    sk = sigs.select("id", "kmv")
+    ka = sk.select(F.col("id").alias("a"), F.col("kmv").alias("a_kmv"))
+    kb = sk.select(F.col("id").alias("b"), F.col("kmv").alias("b_kmv"))
+
+    def screen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cells_a = [np.asarray(c, dtype=np.int64) for c in pdf["a_kmv"]]
+            cells_b = [np.asarray(c, dtype=np.int64) for c in pdf["b_kmv"]]
+            ca = np.fromiter((len(c) for c in cells_a), np.int64, len(cells_a))
+            cb = np.fromiter((len(c) for c in cells_b), np.int64, len(cells_b))
+            va = np.concatenate(cells_a) if ca.sum() else np.empty(0, np.int64)
+            vb = np.concatenate(cells_b) if cb.sum() else np.empty(0, np.int64)
+            hits, denom, union = kmv_pair_stats(va, ca, vb, cb, p)
+            est = np.zeros(len(pdf))
+            use = (denom > 0) & (ca > 0) & (cb > 0)
+            est[use] = hits[use] / denom[use]
+            exact = (ca < p) & (cb < p) & (union <= p)
+            _, ub = binomial_kl_bounds(est, denom, _PREFIX_REJECT_DELTA)
+            ub[exact] = est[exact]
+            # exact accepts: emit the jaccard directly (same integer ratio
+            # the gram join computes: hits / (na + nb - hits))
+            out = pd.DataFrame(
+                {
+                    "a": pdf["a"].values,
+                    "b": pdf["b"].values,
+                    "jaccard": est,
+                    "route": np.where(
+                        exact, np.where(est >= threshold, 2, 0),
+                        np.where(ub < threshold, 0, 1),
+                    ).astype(np.int32),
+                }
+            )
+            yield out
+
+    screened = (
+        sized.select("a", "b")
+        .join(ka, "a")
+        .join(kb, "b")
+        .mapInPandas(screen, schema="a long, b long, jaccard double, route int")
+        .localCheckpoint()
+    )
+    uncertain = screened.filter(F.col("route") == 1).select("a", "b")
+    exact_acc = screened.filter(F.col("route") == 2).select("a", "b", "jaccard")
+    return uncertain, exact_acc
 
 
 def containment_dedup_pairs(

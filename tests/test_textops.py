@@ -401,3 +401,70 @@ def test_containment_dedup_planted(spark):
     assert (
         containment_dedup_pairs(df, "doc_id", "text", max_anchor_freq=0).count() == 0
     )
+
+
+def test_minhash_prefix_verify_parity(spark):
+    """r5 prefix screen: minhash_dedup_pairs with the bottom-p KMV prefilter
+    (default) must emit exactly the pairs AND jaccard values of the
+    join-everything baseline (prefix_verify=None), on a corpus spanning the
+    screen's routes: exact-by-prefix short docs, big docs that must reach
+    the gram join, near-threshold pairs, size-ratio rejects, and a CJK
+    char-fallback dup."""
+    import numpy as np
+
+    from datasketches_pig_spark.textops.dedup import minhash_dedup_pairs
+
+    rng = np.random.default_rng(5150)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    docs = []
+
+    def words(k):
+        return [vocab[int(i)] for i in rng.integers(0, len(vocab), k)]
+
+    i = 0
+    for _ in range(30):  # short near-dup pairs (exact-by-prefix route)
+        base = words(20)
+        edit = list(base)
+        edit[int(rng.integers(len(edit)))] = vocab[int(rng.integers(len(vocab)))]
+        docs += [(i, " ".join(base)), (i + 1, " ".join(edit))]
+        i += 2
+    for _ in range(10):  # big-doc near-dups (> 64 grams: gram-join route)
+        base = words(200)
+        edit = list(base)
+        for pos in rng.integers(0, len(edit), 12):
+            edit[int(pos)] = vocab[int(rng.integers(len(vocab)))]
+        docs += [(i, " ".join(base)), (i + 1, " ".join(edit))]
+        i += 2
+    for _ in range(10):  # size-ratio rejects that still share LSH bands
+        base = words(40)
+        docs += [(i, " ".join(base)), (i + 1, " ".join(base * 3))]
+        i += 2
+    for _ in range(60):  # independent noise
+        docs.append((i, " ".join(words(int(rng.integers(15, 120))))))
+        i += 1
+    # CJK fallback near-dup (no spaces)
+    cjk = "電力網の安定性は周波数制御と需給調整に依存する" * 3
+    docs += [(i, cjk), (i + 1, cjk[:-2] + "市場")]
+    i += 2
+
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(8)
+    df = df.localCheckpoint()
+
+    base = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in minhash_dedup_pairs(
+            df, "doc_id", "text", 3, 0.5, prefix_verify=None
+        ).collect()
+    }
+    pref = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in minhash_dedup_pairs(
+            df, "doc_id", "text", 3, 0.5, prefix_verify=64
+        ).collect()
+    }
+    assert set(base) == set(pref), (
+        set(base) ^ set(pref)
+    )
+    for k in base:
+        assert abs(base[k] - pref[k]) < 1e-12, (k, base[k], pref[k])
+    assert len(base) >= 40  # the corpus actually produced dup pairs
