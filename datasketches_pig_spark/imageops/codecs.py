@@ -1,15 +1,20 @@
 """Image codec layer — pure-numpy encode/decode, vectorized per batch.
 
 Images are opaque ``binary`` columns with typed metadata (format, width,
-height, channels).  Two formats are fully implemented in-numpy (no imaging
-libraries in this container):
+height, channels).  Three formats are fully implemented in-numpy (no
+imaging libraries in this container):
 
 * ``rgb8``  — headerless interleaved uint8 RGB, shape from metadata.
 * ``ppm``   — binary PPM (P6), the classic self-describing RGB container.
+* ``jpeg``  — baseline sequential DCT (``imageops/jpeg.py``): canonical
+  Huffman + vectorized 8×8 (I)DCT, 4:4:4/4:2:2/4:2:0, restart markers;
+  cross-validated both directions against the JVM's ``javax.imageio``
+  codec (tests/test_jpeg.py).  Progressive/arithmetic JPEG raises
+  ``NotImplementedError`` naming the marker.
 
-Formats needing external codecs (jpeg/png/webp/…) are registered stubs
-raising ``NotImplementedError`` — the Spark-side plumbing (schema, dispatch,
-Arrow batching) treats them identically, so wiring Pillow/libvips on a real
+Formats needing external codecs (png/webp/…) are registered stubs raising
+``NotImplementedError`` — the Spark-side plumbing (schema, dispatch, Arrow
+batching) treats them identically, so wiring Pillow/libvips on a real
 cluster is a local change to this file only.
 """
 
@@ -17,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 
-STUB_FORMATS = ("jpeg", "png", "webp", "gif", "tiff")
+STUB_FORMATS = ("png", "webp", "gif", "tiff")
 
 
 def rgb8_encode(img: np.ndarray) -> bytes:
@@ -74,6 +79,10 @@ def decode_image(blob: bytes, fmt: str, width: int, height: int) -> np.ndarray:
         return rgb8_decode(blob, width, height)
     if fmt == "ppm":
         return ppm_decode(blob)
+    if fmt == "jpeg":
+        from datasketches_pig_spark.imageops.jpeg import jpeg_decode
+
+        return jpeg_decode(blob)
     if fmt in STUB_FORMATS:
         raise NotImplementedError(
             f"image codec '{fmt}' needs an external library not present in "

@@ -31,8 +31,10 @@ def test_codec_roundtrips():
     assert np.array_equal(decode_image(ppm_encode(img), "ppm", 0, 0), img)
     small = resize_nearest(img, 9, 8)
     assert small.shape == (8, 9, 3)
-    with pytest.raises(NotImplementedError, match="jpeg"):
-        decode_image(b"\xff\xd8\xff", "jpeg", 0, 0)
+    # jpeg became a real in-numpy codec in r5 (tests/test_jpeg.py); png is
+    # still an honest stub
+    with pytest.raises(NotImplementedError, match="png"):
+        decode_image(b"\x89PNG", "png", 0, 0)
 
 
 def test_image_features_and_near_pairs(spark):
