@@ -133,7 +133,17 @@ def pending_fold(base_path: str) -> dict | None:
 
     marker = Path(_journal_dir(base_path)) / "marker.json"
     if marker.exists():
-        return json.loads(marker.read_text())
+        try:
+            return json.loads(marker.read_text())
+        except (json.JSONDecodeError, OSError) as e:
+            # a corrupt marker means the journal cannot be trusted — neither
+            # replay-skip nor redo is safe, so this is the one state that
+            # needs a human (or a deliberate journal delete), loudly
+            raise ValueError(
+                f"fold journal marker {marker} is corrupted ({e}); the store "
+                "needs manual inspection — delete the _fold_journal dir only "
+                "if you have verified the last fold completed"
+            ) from e
     return None
 
 

@@ -18,12 +18,23 @@ from pyspark.sql import Column, DataFrame
 DEFAULT_LGK = 12  # hll/DataToSketch.java:45-46
 
 
+def _check_lgk(lg_k: int, lo: int, hi: int, family: str) -> None:
+    """Plan-time ctor validation, mirroring the reference sketches' lgK
+    range checks (HllSketch: [4, 21]; CpcSketch: [4, 26]) — fail at
+    construction, not mid-job."""
+    if not isinstance(lg_k, int) or not (lo <= lg_k <= hi):
+        raise ValueError(
+            f"{family} lgK must be an int in [{lo}, {hi}], got {lg_k!r}"
+        )
+
+
 def lgk_to_rsd(lg_k: int) -> float:
     return 1.04 / math.sqrt(2.0**lg_k)
 
 
 def hll_estimate(col, lg_k: int = DEFAULT_LGK) -> Column:
     """approx distinct estimate (hll/SketchToEstimate.java:35 analog)."""
+    _check_lgk(lg_k, 4, 21, "HLL")
     return F.approx_count_distinct(col, lgk_to_rsd(lg_k))
 
 
@@ -31,6 +42,7 @@ def hll_distinct(df: DataFrame, value_col: str, group_cols: list[str] | None = N
                  lg_k: int = DEFAULT_LGK, exact: bool = False) -> DataFrame:
     """Grouped distinct count; exact=True switches to countDistinct (the
     exact-mode/oracle path)."""
+    _check_lgk(lg_k, 4, 21, "HLL")
     agg = (
         F.countDistinct(value_col) if exact else hll_estimate(value_col, lg_k)
     ).cast("double").alias("estimate")
@@ -50,6 +62,7 @@ def hll_estimate_with_bounds(
     HLL sketch answers from its exact coupon list and
     ``getLowerBound == getEstimate == getUpperBound`` — the same exact-mode
     collapse the theta bounds oracle relies on."""
+    _check_lgk(lg_k, 4, 21, "HLL")
     if exact:
         est = F.countDistinct(value_col).cast("double")
         aggs = [est.alias("est"), est.alias("lb"), est.alias("ub")]
@@ -78,6 +91,7 @@ def cpc_rsd(lg_k: int) -> float:
 
 
 def cpc_estimate(col, lg_k: int = DEFAULT_CPC_LGK) -> Column:
+    _check_lgk(lg_k, 4, 26, "CPC")
     return F.approx_count_distinct(col, max(cpc_rsd(lg_k), 0.01))
 
 
@@ -87,6 +101,7 @@ def hll_to_string(
     """Debug summary — ``hll/SketchToString.java`` analog: formatted lgK /
     estimate / rsd line.  Deterministic (hence oracle-checkable) in exact
     mode."""
+    _check_lgk(lg_k, 4, 21, "HLL")
     est = (
         F.countDistinct(value_col) if exact else hll_estimate(value_col, lg_k)
     ).cast("double")
@@ -104,6 +119,7 @@ def cpc_to_string(
     df: DataFrame, value_col: str, lg_k: int = 11, exact: bool = False
 ) -> DataFrame:
     """Debug summary — ``cpc/SketchToString.java`` analog."""
+    _check_lgk(lg_k, 4, 26, "CPC")
     est = (
         F.countDistinct(value_col) if exact else cpc_estimate(F.col(value_col), lg_k)
     ).cast("double")
@@ -121,6 +137,7 @@ def cpc_distinct(df: DataFrame, value_col: str, group_cols: list[str] | None = N
                  lg_k: int = DEFAULT_CPC_LGK, exact: bool = False) -> DataFrame:
     """Grouped distinct count via the CPC accuracy mapping
     (``cpc/GetEstimate.java:40`` analog); exact=True is the oracle path."""
+    _check_lgk(lg_k, 4, 26, "CPC")
     agg = (
         F.countDistinct(value_col) if exact else cpc_estimate(F.col(value_col), lg_k)
     ).cast("double").alias("estimate")
@@ -146,6 +163,7 @@ def cpc_estimate_with_bounds(
     """
     if kappa not in (1, 2, 3):
         raise ValueError(f"kappa must be 1, 2 or 3, got {kappa}")
+    _check_lgk(lg_k, 4, 26, "CPC")
     rsd = cpc_rsd(lg_k)
     est = (
         F.countDistinct(value_col) if exact else F.approx_count_distinct(value_col, max(rsd, 0.01))

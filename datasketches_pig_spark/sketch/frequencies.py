@@ -111,6 +111,11 @@ def frequent_items_to_string(
     """Debug summary — ``frequencies/.../SketchToString`` analog: map size /
     stream length / distinct items / total merged error.  Error is 0 while
     the per-partition maps never saturate (exact mode ⇒ oracle-checkable)."""
+    if max_map_size < 2 or (max_map_size & (max_map_size - 1)) != 0:
+        raise ValueError(
+            f"max_map_size must be a power of 2 >= 2, got {max_map_size} "
+            "(reference contract: ItemsSketch maxMapSize check)"
+        )
     merged = _space_saving_partials(df, item_col, max_map_size)
     return merged.agg(
         F.concat(

@@ -24,6 +24,11 @@ def kll_to_string(df: DataFrame, value_col: str, k: int = 200) -> DataFrame:
     """Debug summary — ``kll/SketchToString.java`` analog: k / n / min / max
     line.  The relational engine sees the exact stream, so the summary is
     deterministic and oracle-checkable."""
+    if not (8 <= k <= 65535):
+        raise ValueError(
+            f"KLL k must be in [8, 65535], got {k} "
+            "(reference contract: KllFloatsSketch k range)"
+        )
     return df.agg(
         F.concat(
             F.lit(f"KLL sketch: k={k}, n="),

@@ -148,6 +148,11 @@ def theta_sketch_to_string(sketch: Column | str, k: int = DEFAULT_K) -> Column:
     """Human-readable sketch summary — the ``theta/SketchToString.java:39``
     debug analog, as a pure column expression (retained entries, exact-mode
     flag, theta fraction, estimate)."""
+    if k < 16 or (k & (k - 1)) != 0:
+        raise ValueError(
+            f"theta sketch size must be a power of 2 >= 16, got {k} "
+            "(reference contract: theta/DataToSketch.java sketch-size check)"
+        )
     s = F.col(sketch) if isinstance(sketch, str) else sketch
     n = F.size(s)
     exact = n < k
