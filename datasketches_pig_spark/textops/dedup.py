@@ -318,18 +318,20 @@ def minhash_dedup_pairs(
         df, id_col, text_col, n, num_perm, seed, char_fallback_n,
         kmv_prefix=prefix_verify or 64,
     )
-    if prefix_verify is not None:
-        # two consumers (candidates + prefilter joins): materialize the slim
-        # signature rows once so the Arrow shingle pass runs exactly once
-        sigs = sigs.localCheckpoint()
-    cands = minhash_lsh_candidates(sigs).localCheckpoint()
-    release_shard_caches()  # cands is materialized; drop the shard cache
-
     exact_prefix = None
     if prefix_verify is not None:
-        cands, exact_prefix = _prefix_screen(
-            cands, sigs, threshold, prefix_verify
-        )
+        # two consumers (candidates + prefilter joins): materialize the slim
+        # signature rows once so the Arrow shingle pass runs exactly once.
+        # The candidate frame itself stays LAZY — its single consumer is the
+        # screen, whose own localCheckpoint materializes the whole chain in
+        # one job (one fewer barrier than checkpointing candidates first)
+        sigs = sigs.localCheckpoint()
+        cands = minhash_lsh_candidates(sigs)
+        cands, exact_prefix = _prefix_screen(cands, sigs, threshold, prefix_verify)
+        release_shard_caches()  # screen is materialized; drop the shard cache
+    else:
+        cands = minhash_lsh_candidates(sigs).localCheckpoint()
+        release_shard_caches()  # cands is materialized; drop the shard cache
 
     cand_ids = (
         cands.select(F.col("a").alias(id_col))
@@ -372,23 +374,29 @@ def _prefix_screen(
     from datasketches_pig_spark.operators.signatures import kmv_pair_stats
     from datasketches_pig_spark.operators.verify import binomial_kl_bounds
 
-    sz = sigs.select("id", "n_shingles")
-    sized = (
-        cands.join(sz.select(F.col("id").alias("a"), F.col("n_shingles").alias("na")), "a")
-        .join(sz.select(F.col("id").alias("b"), F.col("n_shingles").alias("nb")), "b")
-        # deterministic size-ratio reject: J <= min/max regardless of overlap
-        .filter(
-            F.least("na", "nb") >= F.lit(threshold) * F.greatest("na", "nb")
-        )
+    # ONE slim join chain (id → exact count + bottom-p prefix per side);
+    # the size-ratio reject runs inside the same Arrow pass as the KL
+    # screen.  Size-rejects are rare among LSH candidates (banding selects
+    # similar docs), so shipping their ≤ 8p-byte prefixes through this join
+    # costs less than a second join stage pair would
+    sk = sigs.select("id", "n_shingles", "kmv")
+    ka = sk.select(
+        F.col("id").alias("a"),
+        F.col("n_shingles").alias("na"),
+        F.col("kmv").alias("a_kmv"),
     )
-    sk = sigs.select("id", "kmv")
-    ka = sk.select(F.col("id").alias("a"), F.col("kmv").alias("a_kmv"))
-    kb = sk.select(F.col("id").alias("b"), F.col("kmv").alias("b_kmv"))
+    kb = sk.select(
+        F.col("id").alias("b"),
+        F.col("n_shingles").alias("nb"),
+        F.col("kmv").alias("b_kmv"),
+    )
 
     def screen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
+            na = pdf["na"].to_numpy(dtype=np.int64)
+            nb = pdf["nb"].to_numpy(dtype=np.int64)
             cells_a = [np.asarray(c, dtype=np.int64) for c in pdf["a_kmv"]]
             cells_b = [np.asarray(c, dtype=np.int64) for c in pdf["b_kmv"]]
             ca = np.fromiter((len(c) for c in cells_a), np.int64, len(cells_a))
@@ -402,24 +410,31 @@ def _prefix_screen(
             exact = (ca < p) & (cb < p) & (union <= p)
             _, ub = binomial_kl_bounds(est, denom, _PREFIX_REJECT_DELTA)
             ub[exact] = est[exact]
+            # deterministic size-ratio bound: J <= min/max regardless of
+            # overlap (exact counts from the signature pass)
+            size_reject = np.minimum(na, nb) < threshold * np.maximum(na, nb)
             # exact accepts: emit the jaccard directly (same integer ratio
             # the gram join computes: hits / (na + nb - hits))
-            out = pd.DataFrame(
+            route = np.where(
+                size_reject,
+                0,
+                np.where(
+                    exact,
+                    np.where(est >= threshold, 2, 0),
+                    np.where(ub < threshold, 0, 1),
+                ),
+            ).astype(np.int32)
+            yield pd.DataFrame(
                 {
                     "a": pdf["a"].values,
                     "b": pdf["b"].values,
                     "jaccard": est,
-                    "route": np.where(
-                        exact, np.where(est >= threshold, 2, 0),
-                        np.where(ub < threshold, 0, 1),
-                    ).astype(np.int32),
+                    "route": route,
                 }
             )
-            yield out
 
     screened = (
-        sized.select("a", "b")
-        .join(ka, "a")
+        cands.join(ka, "a")
         .join(kb, "b")
         .mapInPandas(screen, schema="a long, b long, jaccard double, route int")
         .localCheckpoint()
