@@ -11,8 +11,12 @@ imaging libraries in this container):
   cross-validated both directions against the JVM's ``javax.imageio``
   codec (tests/test_jpeg.py).  Progressive/arithmetic JPEG raises
   ``NotImplementedError`` naming the marker.
+* ``png``   — stdlib-zlib inflate + full filter set (``imageops/png.py``);
+  lossless, so cross-validation vs javax.imageio is EXACT equality both
+  directions (tests/test_png.py).  Adam7/16-bit raise
+  ``NotImplementedError``.
 
-Formats needing external codecs (png/webp/…) are registered stubs raising
+Formats needing external codecs (webp/…) are registered stubs raising
 ``NotImplementedError`` — the Spark-side plumbing (schema, dispatch, Arrow
 batching) treats them identically, so wiring Pillow/libvips on a real
 cluster is a local change to this file only.
@@ -22,7 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 
-STUB_FORMATS = ("png", "webp", "gif", "tiff")
+STUB_FORMATS = ("webp", "gif", "tiff")
 
 
 def rgb8_encode(img: np.ndarray) -> bytes:
@@ -83,6 +87,10 @@ def decode_image(blob: bytes, fmt: str, width: int, height: int) -> np.ndarray:
         from datasketches_pig_spark.imageops.jpeg import jpeg_decode
 
         return jpeg_decode(blob)
+    if fmt == "png":
+        from datasketches_pig_spark.imageops.png import png_decode
+
+        return png_decode(blob)
     if fmt in STUB_FORMATS:
         raise NotImplementedError(
             f"image codec '{fmt}' needs an external library not present in "

@@ -4,8 +4,9 @@ Closes the r4 verdict's top multimodal gap: a real multimodal training
 corpus is overwhelmingly COMPRESSED formats, and until now every jpeg/png/
 webp payload hit the documented ``NotImplementedError`` stub, so the
 perceptual near-dup family only ran on raw-payload corpora.  Baseline JPEG
-is the one compressed format that is tractable without external libraries
-(canonical Huffman + 8×8 DCT), and it is also the dominant one in practice.
+is the dominant compressed format in practice and tractable without
+external libraries (canonical Huffman + 8×8 DCT); PNG (``imageops/png.py``)
+closes the lossless side the same way.
 
 Scope (honest limits, enforced loudly):
 * decode — baseline sequential DCT (SOF0/SOF1), 8-bit, grayscale or YCbCr

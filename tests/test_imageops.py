@@ -31,10 +31,10 @@ def test_codec_roundtrips():
     assert np.array_equal(decode_image(ppm_encode(img), "ppm", 0, 0), img)
     small = resize_nearest(img, 9, 8)
     assert small.shape == (8, 9, 3)
-    # jpeg became a real in-numpy codec in r5 (tests/test_jpeg.py); png is
-    # still an honest stub
-    with pytest.raises(NotImplementedError, match="png"):
-        decode_image(b"\x89PNG", "png", 0, 0)
+    # jpeg and png became real in-numpy codecs in r5 (tests/test_jpeg.py,
+    # tests/test_png.py); webp is still an honest stub
+    with pytest.raises(NotImplementedError, match="webp"):
+        decode_image(b"RIFF", "webp", 0, 0)
 
 
 def test_image_features_and_near_pairs(spark):
@@ -75,15 +75,17 @@ def test_image_features_and_near_pairs(spark):
 def test_image_stub_codec_raises_through_spark(spark):
     from datasketches_pig_spark.imageops.features import image_feature_stage
 
-    df = spark.createDataFrame(
-        [(1, bytearray(b"\x89PNG"), "png", 4, 4)],
-        "image_id long, bytes binary, fmt string, width int, height int",
-    )
     from py4j.protocol import Py4JJavaError
     from pyspark.errors import PythonException
 
-    with pytest.raises((PythonException, Py4JJavaError), match="png"):
+    schema = "image_id long, bytes binary, fmt string, width int, height int"
+    df = spark.createDataFrame([(1, bytearray(b"RIFF...."), "webp", 4, 4)], schema)
+    with pytest.raises((PythonException, Py4JJavaError), match="webp"):
         image_feature_stage(df).collect()
+    # real codecs surface malformed bytes as errors too, not garbage rows
+    bad = spark.createDataFrame([(1, bytearray(b"\x89PNG"), "png", 4, 4)], schema)
+    with pytest.raises((PythonException, Py4JJavaError), match="(?i)png"):
+        image_feature_stage(bad).collect()
 
 
 def test_video_frame_sampling_and_near_pairs(spark):
@@ -165,3 +167,52 @@ def test_frame_sample_stride_fanout(spark):
 
     with pytest.raises(ValueError, match="stride"):
         frame_sample_stage(df, stride=0)
+
+
+def test_jpeg_gate_corpus_invariants():
+    """The dedup_jpeg VALUES oracle is only stable because the synthetic
+    corpus guarantees a >=64-gray-level margin at every dHash comparison
+    (data/images.py docstring) — assert exactly that, plus determinism and
+    the planted-dup structure."""
+    from datasketches_pig_spark.data.images import (
+        LEVELS,
+        image_cells,
+        render_cells,
+        synth_image,
+    )
+    from datasketches_pig_spark.imageops.codecs import dhash64
+
+    for doc_id in range(150):
+        cells = image_cells(doc_id)
+        lv = LEVELS[cells].astype(np.int64)
+        # horizontally adjacent cells always distinct => margin >= 64
+        assert np.abs(lv[:, 1:] - lv[:, :-1]).min() >= 64, doc_id
+        assert np.array_equal(cells, image_cells(doc_id))  # deterministic
+
+    # planted rule: doc_id % 5 == 4 edits 1-2 cells of doc_id-2's grid,
+    # landing at Hamming <= 4 on the CLEAN images; independent images far
+    for d in range(4, 150, 5):
+        ham = bin(
+            dhash64(synth_image(d)) ^ dhash64(synth_image(d - 2))
+        ).count("1")
+        assert ham <= 4, (d, ham)
+    far = bin(dhash64(synth_image(0)) ^ dhash64(synth_image(1))).count("1")
+    assert far > 4
+
+    img = render_cells(image_cells(7))
+    assert img.shape == (64, 72, 3)
+    assert np.array_equal(img[..., 0], img[..., 1])  # gray
+
+
+def test_jpeg_gate_corpus_dhash_survives_compression():
+    """Encode->decode with the in-numpy baseline JPEG codec must leave every
+    corpus dHash bit-identical (the margin argument made real); spot-check a
+    stratified slice instead of all 150 to keep the suite fast."""
+    from datasketches_pig_spark.data.images import synth_image, synth_jpeg_bytes
+    from datasketches_pig_spark.imageops.codecs import dhash64
+    from datasketches_pig_spark.imageops.jpeg import jpeg_decode
+
+    for doc_id in (0, 4, 7, 49, 74, 101, 149):
+        clean = dhash64(synth_image(doc_id))
+        roundtrip = dhash64(jpeg_decode(synth_jpeg_bytes(doc_id)))
+        assert clean == roundtrip, doc_id

@@ -1,0 +1,204 @@
+"""PNG codec (r5): exact round-trip, EXACT cross-validation against the
+JVM's javax.imageio in both directions (PNG is lossless, so byte equality —
+a stronger contract than the JPEG codec's PSNR bound), per-filter defilter
+coverage via hand-constructed bitstreams, and honest-failure markers."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from datasketches_pig_spark.imageops.png import png_decode, png_encode
+
+
+def _synth(rng, w=57, h=43):
+    # mix of smooth ramp (favors Sub/Up/Paeth filters) and noise blocks
+    # (favors None) so the adaptive encoder exercises several filters
+    x = np.linspace(0, 255, w)[None, :] * np.ones((h, 1))
+    img = np.stack([x, x[::-1], np.full((h, w), 77.0)], axis=-1)
+    img[h // 2 :, : w // 2] = rng.integers(0, 256, (h - h // 2, w // 2, 3))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_roundtrip_exact():
+    rng = np.random.default_rng(3)
+    for w, h in [(57, 43), (8, 8), (1, 1), (64, 72), (3, 17)]:
+        img = _synth(rng, w, h)
+        assert np.array_equal(png_decode(png_encode(img)), img), (w, h)
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _build_png(w, h, color, raw, depth=8, interlace=0, plte=None):
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte)
+    return out + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+
+
+def test_every_filter_type_defilters_exactly():
+    """Hand-filter known pixels with each of the five filter types and
+    assert the decoder reconstructs them exactly (the encoder's adaptive
+    choice can't be forced, so construct the bitstreams directly)."""
+    rng = np.random.default_rng(9)
+    w, h, bpp = 11, 6, 3
+    img = rng.integers(0, 256, (h, w, bpp)).astype(np.uint8)
+    flat = img.reshape(h, w * bpp).astype(np.int32)
+    for ftype in range(5):
+        raw = bytearray()
+        for y in range(h):
+            line = flat[y]
+            prev = flat[y - 1] if y else np.zeros(w * bpp, dtype=np.int32)
+            left = np.zeros(w * bpp, dtype=np.int32)
+            left[bpp:] = line[:-bpp]
+            upleft = np.zeros(w * bpp, dtype=np.int32)
+            upleft[bpp:] = prev[:-bpp]
+            if ftype == 0:
+                f = line
+            elif ftype == 1:
+                f = line - left
+            elif ftype == 2:
+                f = line - prev
+            elif ftype == 3:
+                f = line - ((left + prev) >> 1)
+            else:
+                p = left + prev - upleft
+                pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+                )
+                f = line - pred
+            raw.append(ftype)
+            raw.extend(((f & 0xFF).astype(np.uint8)).tobytes())
+        dec = png_decode(_build_png(w, h, 2, bytes(raw)))
+        assert np.array_equal(dec, img), f"filter {ftype}"
+
+
+def test_color_types_gray_palette_alpha():
+    w, h = 5, 4
+    gray = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    raw = b"".join(b"\x00" + gray[y].tobytes() for y in range(h))
+    dec = png_decode(_build_png(w, h, 0, raw))
+    assert np.array_equal(dec, np.repeat(gray[..., None], 3, axis=2))
+
+    # gray+alpha: alpha dropped
+    ga = np.zeros((h, w, 2), dtype=np.uint8)
+    ga[..., 0] = gray
+    ga[..., 1] = 128
+    raw = b"".join(b"\x00" + ga[y].tobytes() for y in range(h))
+    dec = png_decode(_build_png(w, h, 4, raw))
+    assert np.array_equal(dec, np.repeat(gray[..., None], 3, axis=2))
+
+    # RGBA: alpha dropped
+    rng = np.random.default_rng(4)
+    rgba = rng.integers(0, 256, (h, w, 4)).astype(np.uint8)
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(h))
+    dec = png_decode(_build_png(w, h, 6, raw))
+    assert np.array_equal(dec, rgba[..., :3])
+
+    # palette
+    plte = np.array([[250, 1, 2], [3, 250, 5], [6, 7, 250]], dtype=np.uint8)
+    idx = np.array([[0, 1, 2, 1, 0]] * h, dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    dec = png_decode(_build_png(w, h, 3, raw, plte=plte.tobytes()))
+    assert np.array_equal(dec, plte[idx])
+
+
+def test_honest_failures():
+    img = _synth(np.random.default_rng(0), 16, 16)
+    blob = png_encode(img)
+    with pytest.raises(ValueError, match="signature"):
+        png_decode(b"\x00" + blob[1:])
+    # flip a data byte inside IDAT -> CRC mismatch
+    bad = bytearray(blob)
+    idat = blob.index(b"IDAT")
+    bad[idat + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        png_decode(bytes(bad))
+    raw = b"".join(b"\x00" + img.reshape(16, 48)[y].tobytes() for y in range(16))
+    with pytest.raises(NotImplementedError, match="interlace"):
+        png_decode(_build_png(16, 16, 2, raw, interlace=1))
+    with pytest.raises(NotImplementedError, match="depth"):
+        png_decode(_build_png(16, 16, 2, raw, depth=16))
+    with pytest.raises(ValueError, match="unknown PNG filter"):
+        png_decode(_build_png(16, 16, 2, b"\x07" + raw[1:]))
+
+
+def _jvm_tools(spark):
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    return jvm, gw
+
+
+def _java_decode(spark, blob):
+    jvm, gw = _jvm_tools(spark)
+    bimg = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(blob))
+    )
+    assert bimg is not None, "javax.imageio could not parse the PNG"
+    w, h = bimg.getWidth(), bimg.getHeight()
+    arr = gw.new_array(jvm.int, w * h)
+    bimg.getRGB(0, 0, w, h, arr, 0, w)
+    px = np.array(list(arr), dtype=np.int64).reshape(h, w)
+    return np.stack(
+        [(px >> 16) & 0xFF, (px >> 8) & 0xFF, px & 0xFF], axis=-1
+    ).astype(np.uint8)
+
+
+def _java_encode_png(spark, img):
+    jvm, gw = _jvm_tools(spark)
+    h, w = img.shape[:2]
+    bimg = jvm.java.awt.image.BufferedImage(w, h, 1)  # TYPE_INT_RGB
+    arr = gw.new_array(jvm.int, w * h)
+    packed = (
+        (img[..., 0].astype(np.int64) << 16)
+        | (img[..., 1].astype(np.int64) << 8)
+        | img[..., 2].astype(np.int64)
+    ).reshape(-1)
+    for i, v in enumerate(packed):
+        arr[i] = int(v)
+    bimg.setRGB(0, 0, w, h, arr, 0, w)
+    bos = jvm.java.io.ByteArrayOutputStream()
+    ok = jvm.javax.imageio.ImageIO.write(bimg, "png", bos)
+    assert ok, "javax.imageio has no PNG writer?"
+    return bytes(bos.toByteArray())
+
+
+def test_cross_validation_vs_javax_imageio(spark):
+    """Lossless ⇒ exact: our encoder's bitstream must decode to the exact
+    pixels in the JDK's codec, and the JDK's bitstream in ours."""
+    rng = np.random.default_rng(11)
+    img = _synth(rng, 37, 29)
+    assert np.array_equal(_java_decode(spark, png_encode(img)), img)
+    assert np.array_equal(png_decode(_java_encode_png(spark, img)), img)
+
+
+def test_png_rides_the_near_dup_operator(spark):
+    """A PNG-payload corpus flows through the fused Arrow feature pass and
+    the banded near-dup join exactly like raw formats — planted dup found."""
+    from datasketches_pig_spark.imageops.features import image_near_pairs
+
+    rng = np.random.default_rng(5)
+    base = _synth(rng, 48, 32)
+    shifted = np.clip(base.astype(np.int16) + 6, 0, 255).astype(np.uint8)
+    rows = [
+        (0, bytearray(png_encode(base)), "png", 48, 32),
+        (1, bytearray(png_encode(shifted)), "png", 48, 32),
+    ] + [
+        (i, bytearray(png_encode(_synth(rng, 48, 32))), "png", 48, 32)
+        for i in range(2, 10)
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id long, bytes binary, fmt string, width int, height int"
+    )
+    found = {(r.a, r.b) for r in image_near_pairs(df, max_hamming=3).collect()}
+    assert (0, 1) in found
