@@ -37,6 +37,7 @@ HEADLINE_QUERIES = [
     "ann_cosine",
     "ann_ivf",
     "quality_score",
+    "dedup_jpeg",
 ]
 
 GROUPS_BY_SF = {"0.001": 150, "0.01": 500, "0.1": 2000}
@@ -133,18 +134,20 @@ def main() -> None:
                 eff = max(effs) if effs else None
             if eff is not None:
                 out["scaling_efficiency_best_pair"] = eff
-            # round-4 fresh measurements (honest per-round numbers next to
-            # the historical best): clip pipeline + document-corpus pairs
-            r4c = sc.get("round4_clips_n2_n8")
-            r4d = sc.get("round4_docs_minhash_n2_n8")
-            if r4c:
-                out["scaling_efficiency_r4_clips_pair"] = r4c["best_pair"][
-                    "scaling_efficiency"
-                ]
-            if r4d:
-                out["scaling_efficiency_r4_docs_pair"] = r4d["best_pair"][
-                    "scaling_efficiency"
-                ]
+            # per-round fresh measurements (honest numbers next to the
+            # historical best): clip pipeline + document-corpus pairs,
+            # emitted for every round that recorded them
+            for rnd in ("r4", "r5"):
+                rc = sc.get(f"round{rnd[1]}_clips_n2_n8")
+                rd = sc.get(f"round{rnd[1]}_docs_minhash_n2_n8")
+                if rc:
+                    out[f"scaling_efficiency_{rnd}_clips_pair"] = rc["best_pair"][
+                        "scaling_efficiency"
+                    ]
+                if rd:
+                    out[f"scaling_efficiency_{rnd}_docs_pair"] = rd["best_pair"][
+                        "scaling_efficiency"
+                    ]
         print(json.dumps(out))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -1331,6 +1331,69 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
 """
 
 
+def q_dedup_jpeg(spark, sf_dir):
+    """Compressed-media perceptual near-dup, end-to-end on a compressed
+    format: a deterministic JPEG corpus derived from ``documents.doc_id``
+    (``data/images.py`` — planted Hamming<=4 dups at ``doc_id % 5 == 4``),
+    encoded AND decoded by the in-numpy baseline JPEG codec
+    (``imageops/jpeg.py``) inside fused Arrow passes, then dHash + the
+    Manku banded join (``imageops/features.py::image_near_pairs``).  Raw
+    pixels and JPEG bytes never shuffle — only 8-byte fingerprints.
+
+    Oracle: VALUES generated by ``tools/gen_jpeg_oracle.py`` — decode via
+    the JDK's javax.imageio (an unrelated JPEG implementation), dHash via
+    fresh scalar code, pairs via brute-force popcount — so a pass checks
+    decoder interop AND banded-candidate completeness.  Reference n/a
+    (the Pig repo has no media operators; LLM-pipeline brief item)."""
+    from datasketches_pig_spark.data.images import synth_jpeg_frame
+    from datasketches_pig_spark.imageops.features import image_near_pairs
+
+    ids = (
+        _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 150)
+    )
+    return image_near_pairs(synth_jpeg_frame(ids), max_hamming=4)
+
+
+# Oracle provenance: tools/gen_jpeg_oracle.py (javax.imageio decode +
+# independent scalar dHash + brute-force pairs; generator refuses to emit
+# on any cross-decoder dHash disagreement).  Regenerate if data/images.py
+# or the JPEG codec parameters change.
+SQL_DEDUP_JPEG = """
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, CAST(hamming AS INT) AS hamming FROM (VALUES
+  (2, 4, 0),
+  (7, 9, 0),
+  (12, 14, 0),
+  (17, 19, 2),
+  (22, 24, 1),
+  (27, 29, 1),
+  (32, 34, 1),
+  (37, 39, 2),
+  (42, 44, 0),
+  (47, 49, 0),
+  (52, 54, 2),
+  (57, 59, 1),
+  (62, 64, 0),
+  (67, 69, 1),
+  (72, 74, 0),
+  (77, 79, 1),
+  (82, 84, 0),
+  (87, 89, 4),
+  (92, 94, 1),
+  (97, 99, 1),
+  (102, 104, 0),
+  (107, 109, 1),
+  (112, 114, 0),
+  (117, 119, 0),
+  (122, 124, 1),
+  (127, 129, 0),
+  (132, 134, 1),
+  (137, 139, 2),
+  (142, 144, 0),
+  (147, 149, 1)
+) t(a, b, hamming)
+"""
+
+
 def q_dedup_embedding(spark, sf_dir):
     from datasketches_pig_spark.ann.knn import embedding_near_pairs
 
@@ -2197,6 +2260,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "doc_fingerprint": (q_fingerprint, SQL_DOC_FINGERPRINT),
         "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
         "dedup_minhash_cjk": (q_dedup_minhash_cjk, SQL_DEDUP_MINHASH_CJK),
+        "dedup_jpeg": (q_dedup_jpeg, SQL_DEDUP_JPEG),
         # --- sketch-operator families (one query per reference operator) ---
         "theta_distinct": (q_theta_distinct, SQL_THETA_DISTINCT),
         "theta_union": (q_theta_union, SQL_THETA_UNION),
@@ -2235,10 +2299,13 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
         "topk_window": (q_topk_window, SQL_TOPK_WINDOW),
         "setop_intersect": (q_setop_intersect, SQL_SETOP_INTERSECT),
-        "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
         # --- entry 51+: variants whose operator already has an in-gate row ---
-        # freq_nfp moved here in r4 (frequencies keeps two in-gate rows:
-        # freq_items + freq_approx) to make room for dedup_minhash_cjk
+        # freq_nfp moved here in r4 (frequencies keeps two in-gate rows) to
+        # make room for dedup_minhash_cjk; events_sessions moved here in r5
+        # to make room for dedup_jpeg — the streaming-analog family keeps
+        # three still-checked rows (sessions/tumbling/sliding) and its
+        # stateful paths are pytest-driven (tests/test_streaming.py)
+        "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
         "freq_nfp": (q_freq_nfp, SQL_FREQ_NFP),
         "theta_p": (q_theta_p, SQL_THETA_P),
         "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
