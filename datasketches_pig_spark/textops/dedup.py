@@ -270,6 +270,29 @@ def minhash_lsh_candidates(sigs: DataFrame, cap: int = 64) -> DataFrame:
 _PREFIX_REJECT_DELTA = 1e-12  # per-pair misroute probability of the KL reject
 
 
+_PROBE_ROWS = 20_000
+
+
+def _estimate_mean_shingles(
+    df: DataFrame, text_col: str, n: int, char_fallback_n: int | None
+) -> float:
+    """Mean shingle count over a bounded prefix of the table — pure JVM
+    column algebra (no Arrow pass, no full scan: LIMIT stops the probe
+    after the first partitions).  Word docs contribute ``tokens - n + 1``,
+    no-space-script docs their char-gram count — the same accounting the
+    kernel applies.  Performance heuristic only: either outcome yields
+    identical pairs."""
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    cfn = char_fallback_n or n
+    est = F.when(toks >= n, toks - n + 1).otherwise(
+        F.greatest(F.length(F.col(text_col)) - cfn + 1, F.lit(0))
+    )
+    row = (
+        df.select(est.alias("s")).limit(_PROBE_ROWS).agg(F.avg("s").alias("m"))
+    ).collect()[0]
+    return float(row["m"]) if row["m"] is not None else 0.0
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -280,6 +303,7 @@ def minhash_dedup_pairs(
     seed: int = 9001,
     char_fallback_n: int | None = 5,
     prefix_verify: int | None = 64,
+    prefix_min_mean_shingles: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates, exact-verified by a shingle join restricted to
     candidates (the scale path: quadratic work only inside LSH buckets).
@@ -311,8 +335,33 @@ def minhash_dedup_pairs(
     Only the surviving uncertain pairs — near-threshold, large-doc — reach
     the gram join, so the O(|doc| · pairs) shingle shuffle shrinks to the
     pairs that genuinely need it.  ``prefix_verify=None`` restores the
-    join-everything baseline (the parity reference)."""
+    join-everything baseline (the parity reference).
+
+    **Corpus-adaptive gate (r5):** the screen pays a fixed toll — the
+    signature frame (incl. the bottom-p arrays) must materialize for its
+    second consumer, plus one extra join-stage pair — that only amortizes
+    when the gram join it displaces is expensive, i.e. when docs are long.
+    Measured on the 1.6 M-doc short-doc scaling corpus (~80 shingles/doc,
+    8 cores): screen ON 93.0–93.1 s vs OFF 82.6–88.1 s at identical output.
+    So when ``prefix_min_mean_shingles`` > 0, a bounded probe (first
+    ``_PROBE_ROWS`` rows, pure JVM column algebra on the raw table)
+    estimates the mean shingle count and the screen auto-disables below
+    the bar (default ``4 * prefix_verify``).  The decision affects the
+    physical plan only — both routes produce identical pairs (parity test
+    ``test_minhash_prefix_verify_parity``); pass
+    ``prefix_min_mean_shingles=0`` to force the screen regardless."""
     from datasketches_pig_spark.operators.lsh import release_shard_caches
+
+    if prefix_verify is not None:
+        min_mean = (
+            4 * prefix_verify
+            if prefix_min_mean_shingles is None
+            else prefix_min_mean_shingles
+        )
+        if min_mean and (
+            _estimate_mean_shingles(df, text_col, n, char_fallback_n) < min_mean
+        ):
+            prefix_verify = None
 
     sigs = minhash_stage(
         df, id_col, text_col, n, num_perm, seed, char_fallback_n,

@@ -459,7 +459,12 @@ def test_minhash_prefix_verify_parity(spark):
     pref = {
         (r["a"], r["b"]): r["jaccard"]
         for r in minhash_dedup_pairs(
-            df, "doc_id", "text", 3, 0.5, prefix_verify=64
+            # prefix_min_mean_shingles=0 forces the screen: this mixed corpus
+            # is mostly short docs, so the r5 corpus-adaptive gate would
+            # otherwise (correctly) turn the screen off and the test would
+            # compare the baseline with itself
+            df, "doc_id", "text", 3, 0.5, prefix_verify=64,
+            prefix_min_mean_shingles=0,
         ).collect()
     }
     assert set(base) == set(pref), (
@@ -468,3 +473,19 @@ def test_minhash_prefix_verify_parity(spark):
     for k in base:
         assert abs(base[k] - pref[k]) < 1e-12, (k, base[k], pref[k])
     assert len(base) >= 40  # the corpus actually produced dup pairs
+
+
+def test_prefix_screen_adaptive_probe(spark):
+    """r5 corpus-adaptive gate: the bounded probe's mean-shingle estimate
+    matches the kernel's accounting for word docs (tokens-n+1) and
+    no-space-script docs (chars-cfn+1)."""
+    from datasketches_pig_spark.textops.dedup import _estimate_mean_shingles
+
+    word = spark.createDataFrame(
+        [(0, " ".join(f"w{j}" for j in range(83)))], "doc_id long, text string"
+    )
+    assert _estimate_mean_shingles(word, "text", 3, 5) == 81.0  # 83 tokens
+
+    cjk_text = "安定性は周波数制御" * 10  # 90 chars, 1 ws-token
+    cjk = spark.createDataFrame([(0, cjk_text)], "doc_id long, text string")
+    assert _estimate_mean_shingles(cjk, "text", 3, 5) == 86.0  # chars-5+1
