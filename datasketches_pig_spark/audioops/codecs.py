@@ -5,9 +5,12 @@ The engine treats audio as opaque ``binary`` columns with typed metadata
 operators.  Two codecs are fully implemented in-numpy (no external audio
 libraries needed):
 
-* ``pcm_s16le`` — PCM16 mono inside a standard RIFF/WAVE container.
-* ``ulaw``      — headerless G.711-style µ-law companded uint8 samples
-                  (continuous companding formula, µ=255).
+* ``pcm_s16le``  — PCM16 mono inside a standard RIFF/WAVE container.
+* ``ulaw``       — headerless G.711-style µ-law companded uint8 samples
+                   (continuous companding formula, µ=255).
+* ``adpcm_ima``  — IMA/DVI ADPCM (WAV format tag 0x11), the first
+                   *compressed* codec: 4 bits/sample, block-independent,
+                   decode bit-exact vs a scalar reference (adpcm.py).
 
 Codecs this container can't decode (mp3/opus/aac…) are registered as stubs
 raising ``NotImplementedError`` — the Spark-side plumbing (schema, dispatch,
@@ -101,6 +104,13 @@ def decode_clip(blob: bytes, codec: str, sr_hz: int) -> np.ndarray:
         return pcm
     if codec == "ulaw":
         return ulaw_decode(blob)
+    if codec == "adpcm_ima":
+        from datasketches_pig_spark.audioops.adpcm import adpcm_decode
+
+        pcm, wav_sr = adpcm_decode(blob)
+        if wav_sr != sr_hz:
+            raise ValueError(f"sr mismatch: wav={wav_sr} metadata={sr_hz}")
+        return pcm
     if codec in ("mp3", "opus", "aac", "flac", "vorbis"):
         # Real decoders need external audio libraries not present in this
         # container; the surrounding Spark plumbing (schema, dispatch,

@@ -90,8 +90,18 @@ def _edit_one_word(rng: np.random.Generator, transcript: str, pool: list[str]) -
     return " ".join(words)
 
 
-def group_rows(seed: int, group_id: int, group_size: int, start_index: int, pool: list[str]) -> list[dict]:
-    """Generate all rows of one dup group. Deterministic in (seed, group_id)."""
+def group_rows(
+    seed: int,
+    group_id: int,
+    group_size: int,
+    start_index: int,
+    pool: list[str],
+    variants: tuple[str, ...] = VARIANTS,
+) -> list[dict]:
+    """Generate all rows of one dup group. Deterministic in (seed, group_id,
+    variants).  ``variants`` defaults to the benchmark corpus mix; tests opt
+    into extra codecs (e.g. ``"adpcm"``) without perturbing the corpus every
+    recorded scaling number was measured on."""
     rng = np.random.default_rng([seed, group_id])
     sr_hz = int(SAMPLE_RATES[int(rng.integers(len(SAMPLE_RATES)))])
     pcm = _synth_pcm(rng, sr_hz)
@@ -109,13 +119,18 @@ def group_rows(seed: int, group_id: int, group_size: int, start_index: int, pool
         }
     ]
     for j in range(1, group_size):
-        variant = VARIANTS[int(rng.integers(len(VARIANTS)))]
+        variant = variants[int(rng.integers(len(variants)))]
         v_pcm, v_codec, v_transcript = pcm, "pcm_s16le", transcript
         if variant == "exact":
             blob = base_bytes
         elif variant == "ulaw":
             blob = ulaw_encode(pcm)
             v_codec = "ulaw"
+        elif variant == "adpcm":
+            from datasketches_pig_spark.audioops.adpcm import adpcm_encode
+
+            blob = adpcm_encode(pcm, sr_hz)
+            v_codec = "adpcm_ima"
         elif variant == "trim":
             trim_ms = int(rng.integers(5, 51))
             n_cut = max(int(trim_ms * sr_hz / 1000), 1)
@@ -152,13 +167,17 @@ def decode_ground_truth(blob: bytes, codec: str) -> np.ndarray:
     """Ground-truth decode used by the SNR invariant test."""
     if codec == "ulaw":
         return ulaw_decode(blob)
+    if codec == "adpcm_ima":
+        from datasketches_pig_spark.audioops.adpcm import adpcm_decode
+
+        return adpcm_decode(blob)[0]
     from datasketches_pig_spark.audioops.codecs import wav_decode_pcm16
 
     return wav_decode_pcm16(blob)[0]
 
 
 def generate_clips_pandas(
-    n_groups: int, seed: int = 42
+    n_groups: int, seed: int = 42, variants: tuple[str, ...] = VARIANTS
 ) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
     """In-memory generator → (clips, truth_pairs, truth_clusters)."""
     pool = make_word_pool(seed)
@@ -168,7 +187,7 @@ def generate_clips_pandas(
     pairs: list[tuple[str, str]] = []
     clusters: list[tuple[str, str]] = []
     for g in range(n_groups):
-        grows = group_rows(seed, g, int(sizes[g]), int(offsets[g]), pool)
+        grows = group_rows(seed, g, int(sizes[g]), int(offsets[g]), pool, variants)
         rows.extend(grows)
         ids = [r["clip_id"] for r in grows]
         root = min(ids)
@@ -185,7 +204,13 @@ CLIPS_SCHEMA = (
 )
 
 
-def generate_clips_spark(spark, n_groups: int, seed: int = 42, out_dir: str | None = None):
+def generate_clips_spark(
+    spark,
+    n_groups: int,
+    seed: int = 42,
+    out_dir: str | None = None,
+    variants: tuple[str, ...] = VARIANTS,
+):
     """Distributed generator: one task per group-range, deterministic per group.
 
     At 10^12-clip design scale this is the pattern that matters: no driver-side
@@ -209,7 +234,7 @@ def generate_clips_spark(spark, n_groups: int, seed: int = 42, out_dir: str | No
         for pdf in batches:
             rows: list[dict] = []
             for g, sz, off in zip(pdf["group_id"], pdf["group_size"], pdf["start_index"]):
-                rows.extend(group_rows(seed, int(g), int(sz), int(off), pool))
+                rows.extend(group_rows(seed, int(g), int(sz), int(off), pool, variants))
             if rows:
                 yield pd.DataFrame(rows)
 

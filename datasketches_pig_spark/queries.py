@@ -41,6 +41,7 @@ from datasketches_pig_spark.textops.analysis import (
 )
 from datasketches_pig_spark.textops import dedup as dd
 from datasketches_pig_spark.ann.knn import cosine_topk, rhp_lsh_topk
+from datasketches_pig_spark.oracles_adpcm import SQL_DEDUP_ADPCM
 
 THETA_K = 4096
 
@@ -1394,6 +1395,32 @@ SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, CAST(hamming AS INT) AS h
 """
 
 
+def q_dedup_adpcm(spark, sf_dir):
+    """Compressed-AUDIO near-dup, end-to-end on a compressed codec: a
+    deterministic IMA-ADPCM corpus derived from ``documents.doc_id``
+    (``data/audio.py`` — half-octave note lattice, planted dups at
+    ``doc_id % 5 == 4``), decoded by the vectorized in-numpy ADPCM codec
+    (``audioops/adpcm.py``) inside the fused Arrow signature pass, then the
+    shingle-hash inverted-index join (``audioops/neardup.audio_exact_pairs``
+    — deterministically complete, so brute-force-oracle-checkable; the
+    LSH-banded ``audio_near_pairs`` scale path of the same signature frame
+    is recall-asserted in ``tests/test_audio_neardup.py``).  Raw ADPCM
+    bytes and PCM never shuffle — only gram hashes and bottom-k arrays.
+
+    Oracle: VALUES generated by ``tools/gen_adpcm_oracle.py`` — an
+    independent scalar IMA-ADPCM decoder (public spec, plain ints), fresh
+    scalar feature quantization, brute-force exact Jaccard; the generator
+    refuses to emit on any decoder or kernel disagreement.  Reference n/a
+    (the Pig repo has no media operators; LLM-pipeline brief item)."""
+    from datasketches_pig_spark.audioops.neardup import audio_exact_pairs
+    from datasketches_pig_spark.data.audio import synth_adpcm_clip
+
+    ids = (
+        _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 150)
+    )
+    return audio_exact_pairs(synth_adpcm_clip(ids), threshold=0.5)
+
+
 def q_dedup_embedding(spark, sf_dir):
     from datasketches_pig_spark.ann.knn import embedding_near_pairs
 
@@ -2261,6 +2288,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
         "dedup_minhash_cjk": (q_dedup_minhash_cjk, SQL_DEDUP_MINHASH_CJK),
         "dedup_jpeg": (q_dedup_jpeg, SQL_DEDUP_JPEG),
+        "dedup_adpcm": (q_dedup_adpcm, SQL_DEDUP_ADPCM),
         # --- sketch-operator families (one query per reference operator) ---
         "theta_distinct": (q_theta_distinct, SQL_THETA_DISTINCT),
         "theta_union": (q_theta_union, SQL_THETA_UNION),
@@ -2294,7 +2322,6 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
             q_double_summary_percentile,
             SQL_DOUBLE_SUMMARY_PERCENTILE,
         ),
-        "double_summary_minmax": (q_double_summary_minmax, SQL_DOUBLE_SUMMARY_MINMAX),
         "sketch_summaries": (q_sketch_summaries, SQL_SKETCH_SUMMARIES),
         "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
         "topk_window": (q_topk_window, SQL_TOPK_WINDOW),
@@ -2304,7 +2331,12 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         # make room for dedup_minhash_cjk; events_sessions moved here in r5
         # to make room for dedup_jpeg — the streaming-analog family keeps
         # three still-checked rows (sessions/tumbling/sliding) and its
-        # stateful paths are pytest-driven (tests/test_streaming.py)
+        # stateful paths are pytest-driven (tests/test_streaming.py);
+        # double_summary_minmax moved here in r5 to make room for
+        # dedup_adpcm — it is a min/max MODE variant of the same
+        # DataTo(DoubleSummary)Sketch operator whose sum mode stays in-gate
+        # (double_summary_percentile)
+        "double_summary_minmax": (q_double_summary_minmax, SQL_DOUBLE_SUMMARY_MINMAX),
         "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
         "freq_nfp": (q_freq_nfp, SQL_FREQ_NFP),
         "theta_p": (q_theta_p, SQL_THETA_P),
