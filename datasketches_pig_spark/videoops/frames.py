@@ -1,14 +1,17 @@
 """Video frame operators.
 
 Videos are opaque ``binary`` columns with typed metadata (codec, fps, width,
-height, n_frames).  One codec is fully implemented in-numpy:
+height, n_frames).  Two codecs are fully implemented in-numpy:
 
-* ``rawrgb`` — concatenated headerless uint8 RGB frames (n_frames × H×W×3).
+* ``rawrgb``    — concatenated headerless uint8 RGB frames (n_frames × H×W×3).
+* ``mjpeg_avi`` — Motion-JPEG in an AVI/RIFF container (`mjpeg.py`): the
+                  first *compressed* video codec, every frame an independent
+                  baseline JPEG decoded by `imageops/jpeg.py`.
 
-Container codecs (h264/vp9/av1/…) are stubs raising ``NotImplementedError``
-— the Spark-side plumbing (frame-sample fan-out schema, Arrow batch shape,
-per-frame feature rows) is identical, so wiring PyAV/ffmpeg on a real
-cluster is a local change here.
+Inter-frame-predicted codecs (h264/vp9/av1/…) are stubs raising
+``NotImplementedError`` — the Spark-side plumbing (frame-sample fan-out
+schema, Arrow batch shape, per-frame feature rows) is identical, so wiring
+PyAV/ffmpeg on a real cluster is a local change here.
 
 ``frame_sample_stage`` is the scale-shaping operator: a video row fans out
 to ceil(n_frames / stride) frame rows *inside* the kernel — raw pixel data
@@ -41,6 +44,16 @@ def decode_frames(blob: bytes, codec: str, width: int, height: int) -> np.ndarra
         if len(arr) % frame_sz:
             raise ValueError("rawrgb payload is not a whole number of frames")
         return arr.reshape(-1, height, width, 3)
+    if codec == "mjpeg_avi":
+        from datasketches_pig_spark.videoops.mjpeg import mjpeg_decode
+
+        frames = mjpeg_decode(blob)
+        if frames.shape[1:3] != (height, width):
+            raise ValueError(
+                f"dim mismatch: container {frames.shape[1:3]} "
+                f"metadata {(height, width)}"
+            )
+        return frames
     if codec in STUB_CODECS:
         raise NotImplementedError(
             f"video codec '{codec}' needs an external decoder not present in "
