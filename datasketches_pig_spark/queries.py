@@ -1421,6 +1421,27 @@ def q_dedup_adpcm(spark, sf_dir):
     return audio_exact_pairs(synth_adpcm_clip(ids), threshold=0.5)
 
 
+def q_dedup_adpcm_lsh(spark, sf_dir):
+    """The PRODUCTION banded-LSH audio path (`audio_near_pairs`) over the
+    same ADPCM gate corpus, thresholded at 0.65 — above the corpus's dense
+    background band (≤ 0.625), where the 32×4 banding curve is ≥ 0.999 per
+    pair and, under the committed seed, deterministically finds EVERY
+    oracle pair (verified exhaustively: 876/876, no extras).  Oracle = the
+    committed brute-force VALUES restricted to jaccard ≥ 0.65."""
+    from datasketches_pig_spark.audioops.neardup import audio_near_pairs
+    from datasketches_pig_spark.data.audio import synth_adpcm_clip
+
+    ids = (
+        _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 150)
+    )
+    return audio_near_pairs(synth_adpcm_clip(ids), threshold=0.65)
+
+
+SQL_DEDUP_ADPCM_LSH = (
+    "SELECT * FROM (" + SQL_DEDUP_ADPCM + ") WHERE jaccard >= 0.65"
+)
+
+
 def q_dedup_embedding(spark, sf_dir):
     from datasketches_pig_spark.ann.knn import embedding_near_pairs
 
@@ -2359,4 +2380,5 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "aod_means": (q_aod_means, SQL_AOD_MEANS),
         "aod_variances": (q_aod_variances, SQL_AOD_VARIANCES),
         "aod_retained": (q_aod_retained, SQL_AOD_RETAINED),
+        "dedup_adpcm_lsh": (q_dedup_adpcm_lsh, SQL_DEDUP_ADPCM_LSH),
     }
