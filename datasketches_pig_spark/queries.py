@@ -1441,6 +1441,63 @@ SQL_DEDUP_ADPCM_LSH = (
     "SELECT * FROM (" + SQL_DEDUP_ADPCM + ") WHERE jaccard >= 0.65"
 )
 
+def q_dedup_mjpeg(spark, sf_dir):
+    """Compressed-VIDEO near-dup, end-to-end across codecs: a deterministic
+    mixed-codec corpus derived from ``documents.doc_id`` (``data/videos.py``
+    — dHash-margin cell frames; every planted (d-2, d) pair is one
+    ``rawrgb`` video and one MJPEG-in-AVI re-encode of the same frames),
+    decoded by the in-numpy MJPEG codec (``videoops/mjpeg.py``) inside the
+    fused frame-sample Arrow pass, then the exact-frame-hash bucket join
+    (``videoops/frames.video_near_pairs`` — deterministically complete for
+    buckets under the cap, so brute-force-oracle-checkable).  Raw pixels
+    and JPEG bytes never shuffle — only 8-byte frame fingerprints.
+
+    Oracle: VALUES generated by ``tools/gen_mjpeg_oracle.py`` — fresh
+    scalar RIFF/AVI walk, javax.imageio per-frame decode, fresh scalar
+    dHash, brute-force shared-frame counts; the generator refuses to emit
+    on any decoder disagreement.  Reference n/a (LLM-pipeline brief)."""
+    from datasketches_pig_spark.data.videos import synth_video_frame
+    from datasketches_pig_spark.videoops.frames import video_near_pairs
+
+    ids = (
+        _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 120)
+    )
+    return video_near_pairs(
+        synth_video_frame(ids), stride=1, min_shared_frames=2
+    ).select("a", "b", F.col("shared_frames").cast("long").alias("shared_frames"))
+
+
+
+SQL_DEDUP_MJPEG = """
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, CAST(shared_frames AS BIGINT) AS shared_frames FROM (VALUES
+  (2, 4, 5),
+  (7, 9, 4),
+  (12, 14, 4),
+  (17, 19, 4),
+  (22, 24, 4),
+  (27, 29, 3),
+  (32, 34, 6),
+  (37, 39, 4),
+  (42, 44, 4),
+  (47, 49, 4),
+  (52, 54, 4),
+  (57, 59, 3),
+  (62, 64, 6),
+  (67, 69, 4),
+  (72, 74, 4),
+  (77, 79, 4),
+  (82, 84, 4),
+  (87, 89, 3),
+  (92, 94, 6),
+  (97, 99, 4),
+  (102, 104, 4),
+  (107, 109, 4),
+  (112, 114, 5),
+  (117, 119, 3)
+) t(a, b, shared_frames)
+"""
+
+
 
 def q_dedup_embedding(spark, sf_dir):
     from datasketches_pig_spark.ann.knn import embedding_near_pairs
@@ -2381,4 +2438,5 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "aod_variances": (q_aod_variances, SQL_AOD_VARIANCES),
         "aod_retained": (q_aod_retained, SQL_AOD_RETAINED),
         "dedup_adpcm_lsh": (q_dedup_adpcm_lsh, SQL_DEDUP_ADPCM_LSH),
+        "dedup_mjpeg": (q_dedup_mjpeg, SQL_DEDUP_MJPEG),
     }

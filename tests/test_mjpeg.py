@@ -109,3 +109,25 @@ def test_video_near_pairs_raw_vs_mjpeg_planted(spark):
     want = {(2 * v, 2 * v + 1) for v in range(n_videos)}
     assert want <= got, f"missed planted raw↔mjpeg pairs: {want - got}"
     assert got == want, f"spurious cross-video pairs: {got - want}"
+
+
+def test_video_gate_corpus_invariants():
+    """data/videos.py contract: planted (d-2, d) pairs replay the frame plan
+    (full for d%10==4, all-but-last for d%10==9), ALWAYS mix codecs, and
+    non-planted videos share no frame ids."""
+    from datasketches_pig_spark.data.videos import frame_plan, synth_video_bytes
+
+    for d in range(4, 60, 5):
+        a, b = frame_plan(d - 2), frame_plan(d)
+        assert len(a) == len(b)
+        if d % 10 == 4:
+            assert a == b
+        else:
+            assert a[:-1] == b[:-1] and a[-1] != b[-1]
+        assert synth_video_bytes(d - 2)[1] != synth_video_bytes(d)[1]
+    # disjoint namespaces otherwise
+    plans = {d: set(frame_plan(d)) for d in range(0, 30)}
+    for x in plans:
+        for y in plans:
+            if x < y and not (y % 5 == 4 and y - 2 == x):
+                assert not (plans[x] & plans[y]), (x, y)
