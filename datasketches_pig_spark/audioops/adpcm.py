@@ -213,4 +213,7 @@ def adpcm_decode(blob: bytes) -> tuple[np.ndarray, int]:
     pcm16 = _decode_blocks(blocks, spb).reshape(-1)
     if n_samples is not None:
         pcm16 = pcm16[:n_samples]
-    return (pcm16.astype(np.float32) / 32767.0), sr_hz
+    # the IMA predictor legitimately reaches -32768; clip at the float
+    # boundary so the documented [-1, 1] contract holds for full-scale
+    # negative samples (-32768/32767 would be -1.0000305 otherwise)
+    return np.clip(pcm16.astype(np.float32) / 32767.0, -1.0, 1.0), sr_hz

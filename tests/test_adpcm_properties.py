@@ -37,6 +37,18 @@ def test_roundtrip_length_and_rate_exact(vals, sr, block_align):
     assert len(dec) == 0 or (np.abs(dec) <= 1.0).all()
 
 
+def test_full_scale_negative_stays_in_range():
+    """Hypothesis-found regression (r5): a full-scale negative sample drives
+    the IMA predictor to -32768, whose /32767 float conversion was -1.0000305
+    before the decode-side clip.  The decoded output must honor the
+    documented [-1, 1] contract exactly."""
+    pcm = np.asarray([0.0, -1.0], dtype=np.float32)
+    dec, _ = adpcm_decode(adpcm_encode(pcm, 8000, block_align=8))
+    assert (np.abs(dec) <= 1.0).all()
+    # full-scale negative is still recovered at (or within one LSB of) -1.0
+    assert dec[1] <= -0.999
+
+
 @given(_pcm, _block_align)
 @settings(max_examples=30, deadline=None)
 def test_deterministic_and_prefix_stable(vals, block_align):

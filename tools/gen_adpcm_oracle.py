@@ -194,10 +194,18 @@ def main() -> None:
         vec, _ = adpcm_decode(blob)
         assert len(vec) == len(ints)
         vec_ints = np.round(vec.astype(np.float64) * 32767.0).astype(int)
-        assert vec_ints.tolist() == ints, f"decoder disagreement on clip {doc_id}"
+        # the engine clips the float conversion to [-1, 1], so a predictor
+        # value of -32768 surfaces as -32767 after the round-trip
+        ints_at_float = [max(i, -32767) for i in ints]
+        assert vec_ints.tolist() == ints_at_float, f"decoder disagreement on clip {doc_id}"
         # features run on the engine's float32 sample values — emulate the
         # exact dtype (float32 divide), then compute scalar-wise in float64
-        pcm = [float(x) for x in (np.asarray(ints, np.int16).astype(np.float32) / 32767.0)]
+        pcm = [
+            float(x)
+            for x in np.clip(
+                np.asarray(ints, np.int16).astype(np.float32) / 32767.0, -1.0, 1.0
+            )
+        ]
         sym = scalar_symbols(pcm, sr)
         # cross-check 2: scalar symbols reproduce the engine kernel's grams
         kernel = audio_shingle_hashes([vec], [sr], cfg)[0]
