@@ -38,6 +38,8 @@ HEADLINE_QUERIES = [
     "ann_ivf",
     "quality_score",
     "dedup_jpeg",
+    "dedup_adpcm",
+    "dedup_mjpeg",
 ]
 
 GROUPS_BY_SF = {"0.001": 150, "0.01": 500, "0.1": 2000}

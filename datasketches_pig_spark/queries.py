@@ -2367,6 +2367,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "dedup_minhash_cjk": (q_dedup_minhash_cjk, SQL_DEDUP_MINHASH_CJK),
         "dedup_jpeg": (q_dedup_jpeg, SQL_DEDUP_JPEG),
         "dedup_adpcm": (q_dedup_adpcm, SQL_DEDUP_ADPCM),
+        "dedup_mjpeg": (q_dedup_mjpeg, SQL_DEDUP_MJPEG),
         # --- sketch-operator families (one query per reference operator) ---
         "theta_distinct": (q_theta_distinct, SQL_THETA_DISTINCT),
         "theta_union": (q_theta_union, SQL_THETA_UNION),
@@ -2400,7 +2401,6 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
             q_double_summary_percentile,
             SQL_DOUBLE_SUMMARY_PERCENTILE,
         ),
-        "sketch_summaries": (q_sketch_summaries, SQL_SKETCH_SUMMARIES),
         "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
         "topk_window": (q_topk_window, SQL_TOPK_WINDOW),
         "setop_intersect": (q_setop_intersect, SQL_SETOP_INTERSECT),
@@ -2413,7 +2413,11 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         # double_summary_minmax moved here in r5 to make room for
         # dedup_adpcm — it is a min/max MODE variant of the same
         # DataTo(DoubleSummary)Sketch operator whose sum mode stays in-gate
-        # (double_summary_percentile)
+        # (double_summary_percentile); sketch_summaries moved here later in
+        # r5 to make room for dedup_mjpeg (compressed-video near-dup) — it
+        # is a cross-family ToString round-up whose every constituent sketch
+        # family keeps its own in-gate row
+        "sketch_summaries": (q_sketch_summaries, SQL_SKETCH_SUMMARIES),
         "double_summary_minmax": (q_double_summary_minmax, SQL_DOUBLE_SUMMARY_MINMAX),
         "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
         "freq_nfp": (q_freq_nfp, SQL_FREQ_NFP),
@@ -2438,5 +2442,4 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "aod_variances": (q_aod_variances, SQL_AOD_VARIANCES),
         "aod_retained": (q_aod_retained, SQL_AOD_RETAINED),
         "dedup_adpcm_lsh": (q_dedup_adpcm_lsh, SQL_DEDUP_ADPCM_LSH),
-        "dedup_mjpeg": (q_dedup_mjpeg, SQL_DEDUP_MJPEG),
     }
