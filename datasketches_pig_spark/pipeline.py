@@ -84,6 +84,16 @@ class CheckpointStore:
         path = os.path.join(self.run_dir, stage)
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
+        # per-partition lineage (north-star contract): row counts keyed by
+        # physical partition id of the table as written — a restarted run can
+        # audit exactly which partitions a resumed stage carries.  One cheap
+        # agg job over the just-written parquet (checkpointed mode only).
+        lineage["partition_rows"] = {
+            str(r["pid"]): r["rows"]
+            for r in out.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .collect()
+        }
         self.manifest["stages"][stage] = {"path": path, "lineage": lineage}
         os.makedirs(self.run_dir, exist_ok=True)
         tmp = self.manifest_path + ".tmp"
@@ -91,6 +101,15 @@ class CheckpointStore:
             json.dump(self.manifest, f, indent=2)
         os.replace(tmp, self.manifest_path)  # atomic commit record
         return out
+
+    def annotate(self, stage: str, lineage: dict) -> None:
+        """Re-commit a completed stage's manifest entry with post-save
+        metrics (signature/band metrics land after the stage is written)."""
+        self.manifest["stages"][stage]["lineage"] = lineage
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.manifest, f, indent=2)
+        os.replace(tmp, self.manifest_path)
 
 
 def run_pipeline(
@@ -132,6 +151,28 @@ def run_pipeline(
 
     signatures = stage("signatures", lambda: signature_stage(clips, cfg))
 
+    if store and not lineage[-1].get("resumed"):
+        # signature metrics (north-star contract: signature/band metrics ride
+        # the checkpoint manifest).  ONE agg job over the checkpointed stage;
+        # skipped on resume (already in the manifest) and in store-less runs
+        # (the bench hot path pays no extra pass).
+        m = signatures.agg(
+            F.count(F.lit(1)).alias("clips"),
+            F.sum(F.when(F.col("n_text_shingles") == 0, 1).otherwise(0)).alias(
+                "empty_text"
+            ),
+            F.sum(
+                F.when(F.col("n_audio_shingles") == 0, 1).otherwise(0)
+            ).alias("empty_audio"),
+            F.avg("n_text_shingles").alias("avg_text_shingles"),
+            F.avg("n_audio_shingles").alias("avg_audio_shingles"),
+        ).collect()[0]
+        lineage[-1]["signature_metrics"] = {
+            k: (round(v, 3) if isinstance(v, float) else v)
+            for k, v in m.asDict().items()
+        }
+        store.annotate("signatures", lineage[-1])
+
     # bands: a pure JVM explode of the (already-checkpointed) signatures —
     # its single consumer is the salted expansion, whose own shards persist
     # covers every downstream re-scan, so without a checkpoint store there is
@@ -153,6 +194,34 @@ def run_pipeline(
         "candidates",
         lambda: candidate_pairs(bands, cfg).distinct(),
     )
+
+    if store and not lineage[-1].get("resumed"):
+        # band metrics: bucket-size histogram in log2 classes + the hot-bucket
+        # count over the salting cap — the numbers an operator watches to know
+        # whether the LSH band config still tames skew at production scale
+        hist = (
+            bands.groupBy("band_key")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .groupBy(
+                F.floor(F.log2(F.col("sz"))).cast("int").alias("log2_size")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("buckets"),
+                F.sum(F.when(F.col("sz") > cfg.max_bucket_size, 1).otherwise(0)).alias(
+                    "over_cap"
+                ),
+            )
+            .orderBy("log2_size")
+            .collect()
+        )
+        lineage[-1]["band_metrics"] = {
+            "bucket_log2_histogram": {
+                str(r["log2_size"]): r["buckets"] for r in hist
+            },
+            "buckets_over_salting_cap": int(sum(r["over_cap"] for r in hist)),
+            "max_bucket_size_cap": cfg.max_bucket_size,
+        }
+        store.annotate("candidates", lineage[-1])
     # the candidates stage is materialized (checkpoint or store): the salted
     # expansion's internal shard cache is no longer referenced — release it
     from datasketches_pig_spark.operators.lsh import release_shard_caches

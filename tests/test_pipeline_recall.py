@@ -126,3 +126,49 @@ def test_resume_after_partial_run(spark, tmp_run_dir):
     assert resumed["signatures"] and resumed["bands"]
     assert not resumed["candidates"] and not resumed["clusters"]
     assert {tuple(r) for r in r2.clusters.collect()} == expected
+
+
+def test_manifest_carries_partition_lineage_and_metrics(spark, tmp_run_dir):
+    """North-star contract: the checkpoint manifest records per-partition row
+    counts for every stage plus signature metrics (shingle stats) and band
+    metrics (bucket-size histogram, over-cap count)."""
+    import json
+
+    clips_pdf, _, _ = generate_clips_pandas(30, seed=91)
+    clips = spark.createDataFrame(clips_pdf)
+    res = run_pipeline(spark, clips, DedupConfig(), run_dir=tmp_run_dir)
+
+    with open(f"{tmp_run_dir}/manifest.json") as f:
+        m = json.load(f)
+
+    n_clips = clips.count()
+    for stage_name, entry in m["stages"].items():
+        prows = entry["lineage"]["partition_rows"]
+        assert prows, f"{stage_name} missing partition_rows"
+        assert all(isinstance(v, int) and v >= 0 for v in prows.values())
+    # partition rows sum to the stage's row count
+    sig_rows = sum(m["stages"]["signatures"]["lineage"]["partition_rows"].values())
+    assert sig_rows == n_clips
+
+    sm = m["stages"]["signatures"]["lineage"]["signature_metrics"]
+    assert sm["clips"] == n_clips
+    assert 0 <= sm["empty_text"] <= n_clips
+    assert sm["avg_audio_shingles"] > 0
+
+    bm = m["stages"]["candidates"]["lineage"]["band_metrics"]
+    assert sum(bm["bucket_log2_histogram"].values()) > 0
+    assert bm["buckets_over_salting_cap"] >= 0
+    assert bm["max_bucket_size_cap"] == DedupConfig().max_bucket_size
+
+    # the in-memory lineage carries the same records
+    by_stage = {e["stage"]: e for e in res.lineage}
+    assert by_stage["signatures"]["signature_metrics"] == sm
+    assert by_stage["candidates"]["band_metrics"] == bm
+
+    # and a resumed run preserves them in the manifest (annotate is durable)
+    r2 = run_pipeline(spark, clips, DedupConfig(), run_dir=tmp_run_dir)
+    assert all(e.get("resumed") for e in r2.lineage)
+    with open(f"{tmp_run_dir}/manifest.json") as f:
+        m2 = json.load(f)
+    assert m2["stages"]["signatures"]["lineage"]["signature_metrics"] == sm
+    assert m2["stages"]["candidates"]["lineage"]["band_metrics"] == bm
