@@ -11,6 +11,10 @@ libraries needed):
 * ``adpcm_ima``  — IMA/DVI ADPCM (WAV format tag 0x11), the first
                    *compressed* codec: 4 bits/sample, block-independent,
                    decode bit-exact vs a scalar reference (adpcm.py).
+* ``g711_alaw`` / ``g711_ulaw`` — ITU-T G.711 segmented companding (the
+                   telephony wire format; sign + 3-bit segment + 4-bit
+                   mantissa), validated by the canonical all-256-codes
+                   encode∘decode identity (r5).
 
 Codecs this container can't decode (mp3/opus/aac…) are registered as stubs
 raising ``NotImplementedError`` — the Spark-side plumbing (schema, dispatch,
@@ -88,6 +92,72 @@ def ulaw_decode(blob: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# G.711 (segmented A-law / µ-law — the telephony wire format)
+# ---------------------------------------------------------------------------
+# The ITU-T G.711 segmented encodings, distinct from the continuous-formula
+# `ulaw` above: sign bit + 3-bit segment + 4-bit mantissa, A-law XOR 0x55
+# toggling, µ-law bias 0x84 and ones-complement.  Pure-numpy branchless
+# (segment index via bit-length), validated by the canonical self-consistency
+# property: encode(decode(c)) == c for every one of the 256 codes, both laws
+# (tests/test_audioops.py).  Public algorithm (ITU-T Rec. G.711).
+
+_G711_BIAS = 0x84
+_G711_CLIP = 32635
+
+
+def _seg_count(mag: np.ndarray, base: int) -> np.ndarray:
+    """3-bit segment: the ITU table search — number of segment-end values
+    below ``mag``, ends at ``(base << i) - 1`` for i = 0..6 (A-law base
+    0x20, µ-law base 0x100).  Magnitudes are pre-clamped so seg ≤ 7."""
+    seg = np.zeros(len(mag), dtype=np.int32)
+    for i in range(7):
+        seg += (mag > (base << i) - 1).astype(np.int32)
+    return seg
+
+
+def g711_alaw_encode(pcm: np.ndarray) -> bytes:
+    """float32 mono [-1, 1] → G.711 A-law uint8 samples."""
+    x16 = np.round(np.clip(np.asarray(pcm, np.float64), -1.0, 1.0) * 32767.0)
+    v = x16.astype(np.int32) >> 3  # 13-bit magnitude domain
+    mask = np.where(v >= 0, 0xD5, 0x55).astype(np.int32)
+    mag = np.minimum(np.where(v >= 0, v, -v - 1), 0x0FFF).astype(np.int32)
+    seg = _seg_count(mag, 0x20)
+    mant = np.where(seg < 2, (mag >> 1) & 0x0F, (mag >> seg) & 0x0F)
+    return (((seg << 4) | mant) ^ mask).astype(np.uint8).tobytes()
+
+
+def g711_alaw_decode(blob: bytes) -> np.ndarray:
+    """G.711 A-law uint8 samples → float32 mono [-1, 1] (16-bit domain)."""
+    a = np.frombuffer(blob, dtype=np.uint8).astype(np.int32) ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = ((a & 0x0F) << 4) + np.where(seg == 0, 8, 0x108)
+    t = np.where(seg >= 2, t << np.maximum(seg - 1, 0), t)
+    lin = np.where(a & 0x80, t, -t).astype(np.float32)
+    return np.clip(lin / 32767.0, -1.0, 1.0).astype(np.float32)
+
+
+def g711_ulaw_encode(pcm: np.ndarray) -> bytes:
+    """float32 mono [-1, 1] → G.711 µ-law uint8 samples."""
+    x16 = np.round(np.clip(np.asarray(pcm, np.float64), -1.0, 1.0) * 32767.0)
+    v = x16.astype(np.int32)
+    sign = np.where(v < 0, 0x80, 0x00).astype(np.int32)
+    mag = np.minimum(np.abs(v), _G711_CLIP) + _G711_BIAS
+    seg = _seg_count(mag, 0x100)
+    mant = (mag >> (seg + 3)) & 0x0F
+    return (~(sign | (seg << 4) | mant) & 0xFF).astype(np.uint8).tobytes()
+
+
+def g711_ulaw_decode(blob: bytes) -> np.ndarray:
+    """G.711 µ-law uint8 samples → float32 mono [-1, 1]."""
+    u = (~np.frombuffer(blob, dtype=np.uint8)).astype(np.int32) & 0xFF
+    t = (((u & 0x0F) << 3) + _G711_BIAS) << ((u & 0x70) >> 4)
+    lin = np.where(u & 0x80, -(t - _G711_BIAS), t - _G711_BIAS).astype(
+        np.float32
+    )
+    return np.clip(lin / 32767.0, -1.0, 1.0).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 
@@ -104,6 +174,10 @@ def decode_clip(blob: bytes, codec: str, sr_hz: int) -> np.ndarray:
         return pcm
     if codec == "ulaw":
         return ulaw_decode(blob)
+    if codec == "g711_alaw":
+        return g711_alaw_decode(blob)
+    if codec == "g711_ulaw":
+        return g711_ulaw_decode(blob)
     if codec == "adpcm_ima":
         from datasketches_pig_spark.audioops.adpcm import adpcm_decode
 
