@@ -1,12 +1,19 @@
 """Distributed union-find: connected components over verified dup pairs via
-iterative min-label propagation (DataFrame self-joins to a fixpoint).
+iterative min-label propagation + pointer jumping (DataFrame self-joins to a
+fixpoint).
 
 Each round every vertex takes the minimum label among itself and its
-neighbors; convergence needs O(component diameter) rounds — dup clusters are
-shallow (star/chain topology from LSH star-linking), so a handful of rounds
-suffices.  Each round is localCheckpoint()ed to cut the growing lineage (the
-same reason the reference serializes compact sketches between stages rather
-than re-deriving them).
+neighbors, then collapses one level of label indirection (label := label's
+label — pointer jumping), so the minimum label's reach roughly doubles per
+round and convergence needs O(log diameter) rounds rather than O(diameter):
+a 10^6-vertex chain (the worst realistic shape — transitive near-dup runs)
+converges in ~20 rounds instead of 10^6.  Without the jump step, a component
+whose diameter exceeded the round cap silently kept intermediate labels —
+found by the generated-path-graph test (r5).  A run that still has label
+changes after ``max_unionfind_rounds`` raises instead of returning a wrong
+clustering.  Each round is localCheckpoint()ed to cut the growing lineage
+(the same reason the reference serializes compact sketches between stages
+rather than re-deriving them).
 
 Deterministic output: cluster_id = min clip_id of the component.
 """
@@ -60,24 +67,51 @@ def connected_components(
         .localCheckpoint()
     )
 
+    converged = False
     for _ in range(max_rounds):
         neighbor_min = (
             sym.join(labels, sym.src == labels.clip_id)
             .groupBy("dst")
             .agg(F.min("label").alias("nmin"))
         )
+        stepped = labels.join(
+            neighbor_min, labels.clip_id == neighbor_min.dst, "left"
+        ).select(
+            "clip_id",
+            F.col("label").alias("old_label"),
+            F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # pointer jumping: label := label's label.  Collapses one level of
+        # indirection per round, so min labels spread geometrically — the
+        # step that turns O(diameter) propagation into O(log diameter)
+        lbl = stepped.select(
+            F.col("clip_id").alias("l_id"), F.col("label").alias("l_label")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.clip_id == neighbor_min.dst, "left")
+            stepped.join(lbl, stepped.label == lbl.l_id, "left")
             .select(
                 "clip_id",
-                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
-                (F.col("nmin") < F.col("label")).alias("changed"),
+                F.coalesce("l_label", "label").alias("label"),
+                (
+                    F.coalesce("l_label", "label") != F.col("old_label")
+                ).alias("changed"),
             )
-        ).localCheckpoint()
+            .localCheckpoint()
+        )
         n_changed = new_labels.filter(F.col("changed")).limit(1).count()
         labels = new_labels.drop("changed")
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} "
+            "rounds (component diameter too large for the cap) — raise "
+            "DedupConfig.max_unionfind_rounds; refusing to return a partial "
+            "clustering"
+        )
 
     return (
         vertices.select("clip_id")
