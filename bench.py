@@ -146,6 +146,14 @@ def main() -> None:
                     out[f"scaling_efficiency_{rnd}_clips_pair"] = rc["best_pair"][
                         "scaling_efficiency"
                     ]
+                    if "clean_band_best" in rc:
+                        out[f"scaling_efficiency_{rnd}_clips_clean_band"] = rc[
+                            "clean_band_best"
+                        ]
+                    if "protocol_max_pair" in rc:
+                        out[f"scaling_efficiency_{rnd}_clips_protocol_max"] = rc[
+                            "protocol_max_pair"
+                        ]["scaling_efficiency"]
                 if rd:
                     out[f"scaling_efficiency_{rnd}_docs_pair"] = rd["best_pair"][
                         "scaling_efficiency"
