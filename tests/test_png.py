@@ -202,3 +202,30 @@ def test_png_rides_the_near_dup_operator(spark):
     )
     found = {(r.a, r.b) for r in image_near_pairs(df, max_hamming=3).collect()}
     assert (0, 1) in found
+
+
+def test_png_roundtrip_property_random_images():
+    """Hypothesis-style randomized depth (seeded numpy, no Spark): PNG is
+    lossless, so encode→decode must be EXACT for arbitrary uint8 content —
+    including flat, gradient, and noise images that steer the adaptive
+    encoder through different per-row filter choices."""
+    import numpy as np
+
+    from datasketches_pig_spark.imageops.png import png_decode, png_encode
+
+    rng = np.random.default_rng(99)
+    cases = []
+    for h, w in [(1, 1), (1, 17), (23, 3), (16, 16), (24, 31)]:
+        cases.append(rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8))
+    # flat + gradient images (Paeth/Sub/Up-friendly content)
+    cases.append(np.full((9, 9, 3), 200, dtype=np.uint8))
+    yy, xx = np.mgrid[0:20, 0:15]
+    cases.append(
+        np.stack([xx * 17 % 256, yy * 11 % 256, (xx + yy) * 7 % 256], axis=-1).astype(
+            np.uint8
+        )
+    )
+    for img in cases:
+        dec = png_decode(png_encode(img))
+        assert dec.dtype == np.uint8 and dec.shape == img.shape
+        assert (dec == img).all(), f"lossless roundtrip broken at {img.shape}"
