@@ -27,6 +27,37 @@ from pyspark.sql import DataFrame
 
 from datasketches_pig_spark.config import DedupConfig
 
+# unsigned-int64 comparator for array_sort: the kmv arrays are ascending
+# uint64 hashes stored via .view(int64), so large hashes (>= 2^63) read as
+# negative longs — unsigned order = signed order within each sign class,
+# with the negative class sorting LAST
+_UCMP = (
+    "(l, r) -> CASE WHEN (l < 0L) = (r < 0L) THEN "
+    "CASE WHEN l < r THEN -1 WHEN l > r THEN 1 ELSE 0 END "
+    "WHEN l < 0L THEN 1 ELSE -1 END"
+)
+
+
+def kmv_pair_jaccard(ka: str, kb: str, na: str, nb: str, k: int):
+    """JVM-side KMV pair-Jaccard column, mirroring the Arrow kernels'
+    ``operators/signatures.kmv_jaccard`` semantics (unit-tested against it):
+
+    - both sides complete (``n <= k`` so the kmv array IS the gram set) →
+      exact ``|A∩B| / |A∪B|``;
+    - either side truncated → the standard KMV estimate: fraction of the
+      bottom-k of the merged union present in BOTH sketches.  Taking the
+      bottom-k *of the union* (not the raw 2k-element union) is what keeps
+      the estimator unbiased — the raw-union denominator would bias J low
+      and drop true near-threshold pairs at scale.
+    """
+    exact_j = F.size(F.array_intersect(ka, kb)) / F.greatest(
+        F.size(F.array_union(ka, kb)), F.lit(1)
+    )
+    window = F.expr(f"slice(array_sort(array_union({ka}, {kb}), {_UCMP}), 1, {k})")
+    hits = F.size(F.array_intersect(window, F.array_intersect(ka, kb)))
+    est = hits / F.greatest(F.size(window), F.lit(1))
+    return F.when((F.col(na) <= k) & (F.col(nb) <= k), exact_j).otherwise(est)
+
 
 def audio_signature_frame(
     clips: DataFrame, cfg: DedupConfig, id_col: str = "clip_id"
@@ -115,14 +146,16 @@ def audio_near_pairs(
     )
     release_shard_caches()
 
-    sa = sigs.select(F.col("id").alias("a"), F.col("kmv").alias("ka"))
-    sb = sigs.select(F.col("id").alias("b"), F.col("kmv").alias("kb"))
-    inter = F.size(F.array_intersect("ka", "kb"))
-    union = F.size(F.array_union("ka", "kb"))
+    sa = sigs.select(
+        F.col("id").alias("a"), F.col("kmv").alias("ka"), F.col("n").alias("na")
+    )
+    sb = sigs.select(
+        F.col("id").alias("b"), F.col("kmv").alias("kb"), F.col("n").alias("nb")
+    )
     return (
         cand.join(sa, "a")
         .join(sb, "b")
-        .withColumn("jaccard", inter / F.greatest(union, F.lit(1)))
+        .withColumn("jaccard", kmv_pair_jaccard("ka", "kb", "na", "nb", cfg.kmv_k))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     )

@@ -295,6 +295,16 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
             ns = int(seg[0])
+            if ns != len(frame["comps"]):
+                # a conforming baseline file may split components across
+                # multiple (non-interleaved) scans; we decode only the first
+                # SOS with interleaved-MCU geometry, so fail loudly instead
+                # of returning a partial/garbled image
+                raise NotImplementedError(
+                    "jpeg: multi-scan (non-interleaved) baseline — scan has "
+                    f"{ns} of {len(frame['comps'])} frame components; only "
+                    "single-scan interleaved files are implemented"
+                )
             scan = []
             for i in range(ns):
                 cs = int(seg[1 + 2 * i])

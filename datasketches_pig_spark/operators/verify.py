@@ -391,6 +391,14 @@ def verify_pairs(
 
     ``cfg.verify_prefix = None`` collapses to the single-tier full-sketch
     verify (tier 3 for every surviving pair) — the parity baseline.
+
+    Score-column contract: ``is_dup`` (and the pair set it induces) is
+    identical across ``verify_prefix`` settings — that is what the parity
+    test pins.  ``text_jaccard``/``audio_jaccard`` magnitudes are NOT:
+    on tier-1-decided rows they are the *prefix* point estimates (t_est /
+    a_est), while the ``None`` baseline reports full-sketch estimates.
+    Decisions are authoritative; do not diff jaccard magnitudes across
+    ``verify_prefix`` configurations.
     """
     if transcripts is not None and "transcript" not in transcripts.columns:
         raise ValueError(
@@ -447,6 +455,13 @@ def verify_pairs(
         | (F.col("audio_hamming") <= PREFILTER_HAMMING)
     )
 
+    if prefix is not None:
+        # four consumers below (passthrough, eq-accepts, prefix input, and
+        # the borderline remainder) — one slim-join pass instead of four;
+        # ~100 B/pair materialized. Must happen BEFORE passthrough is built
+        # so every branch reads the checkpointed frame.
+        joined = joined.localCheckpoint()
+
     passthrough = joined.filter(~needs).select(
         "a",
         "b",
@@ -469,10 +484,6 @@ def verify_pairs(
             scored, signatures, transcripts, near, weak, text_thr
         )
         return _decide(passthrough, plain_scored, border_scored, near, weak, text_thr)
-
-    # three consumers below (passthrough, eq-accepts, prefix input) — one
-    # slim-join pass instead of three; ~100 B/pair materialized
-    joined = joined.localCheckpoint()
 
     # ---- tier 1: both sketches identical → accept without any Arrow work
     both_eq = F.col("text_eq") & F.col("audio_eq")

@@ -95,3 +95,60 @@ def test_empty_and_single_clip_edges(spark):
     assert audio_exact_pairs(empty).count() == 0
     one = synth_adpcm_clip(spark.range(1).select(F.col("id").alias("doc_id")))
     assert audio_exact_pairs(one).count() == 0
+
+
+def test_kmv_pair_jaccard_matches_numpy_reference(spark):
+    """The JVM-side kmv_pair_jaccard column must agree with the Arrow
+    kernels' numpy kmv_jaccard on truncated sketches — including hashes
+    >= 2^63 (negative int64), which pins the unsigned array_sort comparator.
+    Exact-mode pairs (both sides complete) must report the exact Jaccard."""
+    from datasketches_pig_spark.audioops.neardup import kmv_pair_jaccard
+    from datasketches_pig_spark.operators.signatures import (
+        kmv_bottom_k,
+        kmv_jaccard,
+    )
+
+    k = 8
+    rng = np.random.default_rng(9001)
+    cases = []
+    # truncated: universes far larger than k, straddling the 2^63 boundary
+    for trial in range(6):
+        ua = rng.integers(0, 2**64, size=40, dtype=np.uint64)
+        shared = ua[: 10 + 2 * trial]
+        ub = np.concatenate(
+            [shared, rng.integers(0, 2**64, size=25, dtype=np.uint64)]
+        )
+        cases.append((np.unique(ua), np.unique(ub)))
+    # exact: both sides complete (n <= k)
+    cases.append(
+        (
+            np.array([1, 5, 2**63 + 7], dtype=np.uint64),
+            np.array([5, 2**63 + 7, 2**64 - 1], dtype=np.uint64),
+        )
+    )
+    rows, expected = [], []
+    for i, (sa_u, sb_u) in enumerate(cases):
+        ka, kb = kmv_bottom_k(sa_u, k), kmv_bottom_k(sb_u, k)
+        na, nb = len(sa_u), len(sb_u)
+        if na <= k and nb <= k:
+            exp = len(np.intersect1d(sa_u, sb_u)) / len(np.union1d(sa_u, sb_u))
+        else:
+            exp = kmv_jaccard(ka, kb, k)
+        rows.append(
+            (i, [int(x) for x in ka.view(np.int64)],
+             [int(x) for x in kb.view(np.int64)], na, nb)
+        )
+        expected.append(exp)
+    df = spark.createDataFrame(
+        rows, "i int, ka array<long>, kb array<long>, na int, nb int"
+    )
+    got = {
+        r["i"]: r["j"]
+        for r in df.select(
+            "i", kmv_pair_jaccard("ka", "kb", "na", "nb", k).alias("j")
+        ).collect()
+    }
+    for i, exp in enumerate(expected):
+        assert got[i] == pytest.approx(exp, abs=1e-12), (
+            f"case {i}: spark {got[i]} vs numpy {exp}"
+        )
