@@ -455,26 +455,20 @@ def verify_pairs(
         | (F.col("audio_hamming") <= PREFILTER_HAMMING)
     )
 
-    if prefix is not None:
-        # four consumers below (passthrough, eq-accepts, prefix input, and
-        # the borderline remainder) — one slim-join pass instead of four;
-        # ~100 B/pair materialized. Must happen BEFORE passthrough is built
-        # so every branch reads the checkpointed frame.
-        joined = joined.localCheckpoint()
-
-    passthrough = joined.filter(~needs).select(
-        "a",
-        "b",
-        F.when(F.col("exact"), F.lit(1.0)).otherwise(F.lit(0.0)).alias("text_jaccard"),
-        F.when(F.col("exact"), F.lit(1.0)).otherwise(F.lit(0.0)).alias("audio_jaccard"),
-        "text_hamming",
-        "audio_hamming",
-        F.lit(False).alias("substr_ok"),
-        F.col("exact").alias("is_dup"),
-    )
-    out_cols = passthrough.columns
+    def _passthrough(df: DataFrame, dup_col) -> DataFrame:
+        return df.select(
+            "a",
+            "b",
+            F.when(dup_col, F.lit(1.0)).otherwise(F.lit(0.0)).alias("text_jaccard"),
+            F.when(dup_col, F.lit(1.0)).otherwise(F.lit(0.0)).alias("audio_jaccard"),
+            "text_hamming",
+            "audio_hamming",
+            F.lit(False).alias("substr_ok"),
+            dup_col.alias("is_dup"),
+        )
 
     if prefix is None:
+        passthrough = _passthrough(joined.filter(~needs), F.col("exact"))
         scored = _score_full(
             joined.filter(needs).select("a", "b", "text_hamming", "audio_hamming"),
             signatures,
@@ -485,18 +479,26 @@ def verify_pairs(
         )
         return _decide(passthrough, plain_scored, border_scored, near, weak, text_thr)
 
-    # ---- tier 1: both sketches identical → accept without any Arrow work
+    # three consumers below (merged passthrough, prefix input, and the
+    # borderline remainder) — one slim-join pass instead of three;
+    # ~100 B/pair materialized. Must happen BEFORE the branches are built
+    # so every one reads the checkpointed frame.
+    joined = joined.localCheckpoint()
+
+    # ---- tier 1 fused into the passthrough branch: identical full sketches
+    # (both_eq) ⇒ both estimates are exactly 1.0 — accepted without any
+    # Arrow work, in the SAME emit as the prefilter passthrough (one branch
+    # of codegen instead of two; the fixed plan/compile cost of each union
+    # arm is what dominates the verify stage's non-scaling wall)
     both_eq = F.col("text_eq") & F.col("audio_eq")
-    eq_accepts = joined.filter(needs & both_eq).select(
-        "a",
-        "b",
-        F.lit(1.0).alias("text_jaccard"),
-        F.lit(1.0).alias("audio_jaccard"),
-        "text_hamming",
-        "audio_hamming",
-        F.lit(False).alias("substr_ok"),
-        F.lit(True).alias("is_dup"),
+    # dup condition is exact | (needs & both_eq), NOT exact | both_eq: a pair
+    # with identical bottom-k sketches but SimHash Hamming past the prefilter
+    # bar was (and in the prefix=None baseline still is) a prefilter reject —
+    # the parity contract decides it False, so the fused branch must too
+    passthrough = _passthrough(
+        joined.filter(~needs | both_eq), F.col("exact") | (needs & both_eq)
     )
+    out_cols = passthrough.columns
 
     # ---- tier 1.5: prefix sketches + bounds (the big shuffle, p/k the size)
     kp = signatures.select(
@@ -552,8 +554,9 @@ def verify_pairs(
             is_dup_col.alias("is_dup"),
         )
 
-    t1_accepts = _emit(prefix_scored.filter(accept), F.lit(True))
-    t1_rejects = _emit(prefix_scored.filter(~accept & reject), F.lit(False))
+    # one branch for both tier-1 outcomes (accept wins where both certify,
+    # matching the old accept-then-reject precedence) — halves the codegen
+    t1_decided = _emit(prefix_scored.filter(accept | reject), accept)
 
     # ---- tier 2: only the uncertifiable remainder fetches full sketches
     borderline = prefix_scored.filter(~accept & ~reject).select(
@@ -566,12 +569,7 @@ def verify_pairs(
     decided = _decide(
         passthrough, plain_scored, border_scored, near, weak, text_thr
     )
-    return (
-        decided.select(*out_cols)
-        .unionByName(eq_accepts.select(*out_cols))
-        .unionByName(t1_accepts.select(*out_cols))
-        .unionByName(t1_rejects.select(*out_cols))
-    )
+    return decided.select(*out_cols).unionByName(t1_decided.select(*out_cols))
 
 
 def _decide(
