@@ -186,6 +186,13 @@ def adpcm_decode(blob: bytes) -> tuple[np.ndarray, int]:
         cid = blob[pos : pos + 4]
         (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
         body = blob[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            # mid-chunk EOF: decoding the short body would silently return
+            # fewer samples than the container declares
+            raise ValueError(
+                f"adpcm: truncated '{cid.decode('latin1')}' chunk — declares "
+                f"{size} bytes, {len(body)} present"
+            )
         if cid == b"fmt ":
             tag, ch, rate, _, balign, bits = struct.unpack("<HHIIHH", body[:16])
             if tag != 0x11:
@@ -204,14 +211,28 @@ def adpcm_decode(blob: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("WAV missing fmt/data chunk")
     if spb is None:
         spb = (block_align - 4) * 2 + 1
+    if len(data) % block_align:
+        # blocks are fixed-size; a partial trailing block means the payload
+        # was cut — decoding only the whole blocks would be silently short
+        raise ValueError(
+            f"adpcm: data chunk ({len(data)} B) is not a whole number of "
+            f"{block_align}-byte blocks"
+        )
     n_blocks = len(data) // block_align
     if n_blocks == 0:
+        if n_samples:
+            raise ValueError(
+                f"adpcm: fact chunk declares {n_samples} samples, data is empty"
+            )
         return np.zeros(0, dtype=np.float32), sr_hz
-    blocks = np.frombuffer(
-        data[: n_blocks * block_align], dtype=np.uint8
-    ).reshape(n_blocks, block_align)
+    blocks = np.frombuffer(data, dtype=np.uint8).reshape(n_blocks, block_align)
     pcm16 = _decode_blocks(blocks, spb).reshape(-1)
     if n_samples is not None:
+        if n_samples > len(pcm16):
+            raise ValueError(
+                f"adpcm: fact chunk declares {n_samples} samples, blocks "
+                f"decode to only {len(pcm16)}"
+            )
         pcm16 = pcm16[:n_samples]
     # the IMA predictor legitimately reaches -32768; clip at the float
     # boundary so the documented [-1, 1] contract holds for full-scale

@@ -16,9 +16,12 @@ libraries needed):
                    mantissa), validated by the canonical all-256-codes
                    encode∘decode identity (r5).
 
-Codecs this container can't decode (mp3/opus/aac…) are registered as stubs
-raising ``NotImplementedError`` — the Spark-side plumbing (schema, dispatch,
-batching) treats them identically, so wiring a real decoder is a local change.
+Codecs this container can't decode (mp3/opus/aac…) raise
+``NotImplementedError`` unless the caller registers a decoder through the
+external-decoder registry (``datasketches_pig_spark/decoders.py``): a
+``codec tag → callable`` table consulted before the stub raise, snapshotted
+into every Spark kernel closure at plan-build time so registered decoders
+ship to executors — no engine-source edit needed to run an mp3 corpus.
 """
 
 from __future__ import annotations
@@ -57,6 +60,13 @@ def wav_decode_pcm16(blob: bytes) -> tuple[np.ndarray, int]:
         cid = blob[pos : pos + 4]
         (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
         body = blob[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            # mid-chunk EOF: a short data body would silently decode to a
+            # shorter clip than the container declares
+            raise ValueError(
+                f"wav: truncated '{cid.decode('latin1')}' chunk — declares "
+                f"{size} bytes, {len(body)} present"
+            )
         if cid == b"fmt ":
             fmt_tag, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
             if fmt_tag != 1 or channels != 1 or bits != 16:
@@ -161,11 +171,19 @@ def g711_ulaw_decode(blob: bytes) -> np.ndarray:
 # dispatch
 # ---------------------------------------------------------------------------
 
-def decode_clip(blob: bytes, codec: str, sr_hz: int) -> np.ndarray:
+def decode_clip(
+    blob: bytes, codec: str, sr_hz: int, decoders: dict | None = None
+) -> np.ndarray:
     """Decode one clip payload to float32 PCM at its native rate.
 
     The per-clip loop lives inside a ``mapInPandas`` Arrow batch; the heavy
     lifting (sample conversion) is vectorized numpy per clip.
+
+    ``decoders`` is an external-decoder table (codec tag → callable,
+    contract in ``datasketches_pig_spark/decoders.py``) consulted for tags
+    the built-in codecs don't cover — Spark kernels pass the registry
+    snapshot captured at plan-build time so registered decoders reach
+    executors; ``None`` falls back to the live process-local registry.
     """
     if codec == "pcm_s16le":
         pcm, wav_sr = wav_decode_pcm16(blob)
@@ -185,11 +203,19 @@ def decode_clip(blob: bytes, codec: str, sr_hz: int) -> np.ndarray:
         if wav_sr != sr_hz:
             raise ValueError(f"sr mismatch: wav={wav_sr} metadata={sr_hz}")
         return pcm
+    from datasketches_pig_spark import decoders as _reg
+
+    table = decoders if decoders is not None else _reg.audio_decoder_snapshot()
+    fn = table.get(codec)
+    if fn is not None:
+        return _reg.validate_pcm(fn(blob, sr_hz), codec)
     if codec in ("mp3", "opus", "aac", "flac", "vorbis"):
         # Real decoders need external audio libraries not present in this
         # container; the surrounding Spark plumbing (schema, dispatch,
         # batching) is identical for these codecs.
         raise NotImplementedError(
-            f"codec '{codec}' requires an external decoder; plug one in here"
+            f"audio codec '{codec}' needs an external decoder: register one "
+            "with datasketches_pig_spark.decoders.register_audio_decoder("
+            f"'{codec}', fn) before building the pipeline"
         )
     raise ValueError(f"unknown codec '{codec}'")

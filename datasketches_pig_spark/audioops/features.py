@@ -16,6 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from datasketches_pig_spark.audioops.codecs import decode_clip
+from datasketches_pig_spark.decoders import audio_decoder_snapshot
 
 FRAME_SAMPLE_SCHEMA = (
     "clip_id string, frame_idx int, t_ms int, frame binary, sr_hz int"
@@ -30,6 +31,7 @@ def frame_sample(
     """Sample n evenly-spaced PCM frames per clip (the audio analog of video
     frame-sampling): one output row per (clip, frame), frame payload =
     float32 little-endian bytes."""
+    ext = audio_decoder_snapshot()  # plan-build-time capture → executors
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -37,7 +39,7 @@ def frame_sample(
             for cid, blob, codec, sr in zip(
                 pdf["clip_id"], pdf["bytes"], pdf["codec"], pdf["sr_hz"]
             ):
-                pcm = decode_clip(blob, codec, int(sr))
+                pcm = decode_clip(blob, codec, int(sr), decoders=ext)
                 flen = max(int(sr * frame_ms / 1000), 1)
                 if len(pcm) <= flen:
                     starts = [0]
@@ -63,6 +65,7 @@ FEATURES_SCHEMA = (
 def extract_features(clips: DataFrame) -> DataFrame:
     """Whole-clip acoustic features: RMS, ZCR, spectral centroid/rolloff,
     dominant FFT frequency — vectorized numpy per clip."""
+    ext = audio_decoder_snapshot()  # plan-build-time capture → executors
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -73,7 +76,9 @@ def extract_features(clips: DataFrame) -> DataFrame:
             for cid, blob, codec, sr in zip(
                 pdf["clip_id"], pdf["bytes"], pdf["codec"], pdf["sr_hz"]
             ):
-                pcm = decode_clip(blob, codec, int(sr)).astype(np.float64)
+                pcm = decode_clip(blob, codec, int(sr), decoders=ext).astype(
+                    np.float64
+                )
                 n = len(pcm)
                 rms = float(np.sqrt((pcm**2).mean())) if n else 0.0
                 signs = pcm >= 0
@@ -100,12 +105,13 @@ def extract_features(clips: DataFrame) -> DataFrame:
 def resample_stage(clips: DataFrame, target_sr: int = 16000) -> DataFrame:
     """Linear-interpolation resample to a common rate — the normalize-before-
     model step.  Output schema matches decode_stage."""
+    ext = audio_decoder_snapshot()  # plan-build-time capture → executors
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pcms, ns = [], []
             for blob, codec, sr in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"]):
-                pcm = decode_clip(blob, codec, int(sr))
+                pcm = decode_clip(blob, codec, int(sr), decoders=ext)
                 if int(sr) != target_sr and len(pcm) > 1:
                     n_out = int(round(len(pcm) * target_sr / int(sr)))
                     x_old = np.linspace(0.0, 1.0, len(pcm))

@@ -77,17 +77,20 @@ def audio_signature_frame(
         minhash_signatures,
     )
 
+    from datasketches_pig_spark.decoders import audio_decoder_snapshot
+
     id_type = clips.schema[id_col].dataType.simpleString()
     sig_schema = f"id {id_type}, bands array<long>, kmv array<long>, n int"
     seed, num_perm, kmv_k = cfg.seed, cfg.num_perm, cfg.kmv_k
     bc, rpb = cfg.band_count, cfg.rows_per_band
+    ext = audio_decoder_snapshot()  # plan-build-time capture → executors
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
             pcms = [
-                decode_clip(b, c, int(s))
+                decode_clip(b, c, int(s), decoders=ext)
                 for b, c, s in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"])
             ]
             sets = audio_shingle_hashes(pcms, list(pdf["sr_hz"]), cfg)

@@ -77,8 +77,19 @@ def ppm_decode(blob: bytes) -> np.ndarray:
     return data.reshape(h, w, 3)
 
 
-def decode_image(blob: bytes, fmt: str, width: int, height: int) -> np.ndarray:
-    """Dispatch by format tag → uint8 HxWx3.  Stub formats raise."""
+def decode_image(
+    blob: bytes,
+    fmt: str,
+    width: int,
+    height: int,
+    decoders: dict | None = None,
+) -> np.ndarray:
+    """Dispatch by format tag → uint8 HxWx3.
+
+    ``decoders`` is an external-decoder table (format tag → callable, see
+    ``datasketches_pig_spark/decoders.py``) consulted before the stub raise;
+    Spark kernels pass the plan-build-time registry snapshot, ``None`` reads
+    the live process-local registry."""
     if fmt == "rgb8":
         return rgb8_decode(blob, width, height)
     if fmt == "ppm":
@@ -91,10 +102,17 @@ def decode_image(blob: bytes, fmt: str, width: int, height: int) -> np.ndarray:
         from datasketches_pig_spark.imageops.png import png_decode
 
         return png_decode(blob)
+    from datasketches_pig_spark import decoders as _reg
+
+    table = decoders if decoders is not None else _reg.image_decoder_snapshot()
+    fn = table.get(fmt)
+    if fn is not None:
+        return _reg.validate_image(fn(blob, width, height), fmt)
     if fmt in STUB_FORMATS:
         raise NotImplementedError(
-            f"image codec '{fmt}' needs an external library not present in "
-            "this container; wire it in imageops/codecs.py:decode_image"
+            f"image codec '{fmt}' needs an external decoder: register one "
+            "with datasketches_pig_spark.decoders.register_image_decoder("
+            f"'{fmt}', fn) before building the pipeline"
         )
     raise ValueError(f"unknown image format {fmt!r}")
 

@@ -27,12 +27,17 @@ FEATURE_SCHEMA = (
 def image_feature_stage(images: DataFrame) -> DataFrame:
     """(image_id, bytes, fmt, width, height) → per-image features + 64-bit
     dHash, one fused Arrow pass."""
+    from datasketches_pig_spark.decoders import image_decoder_snapshot
+
+    ext = image_decoder_snapshot()  # plan-build-time capture → executors
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("image_id", "dhash", "mean_r", "mean_g", "mean_b", "std_gray", "aspect")}
             for row in pdf.itertuples(index=False):
-                img = decode_image(bytes(row.bytes), row.fmt, row.width, row.height)
+                img = decode_image(
+                    bytes(row.bytes), row.fmt, row.width, row.height, decoders=ext
+                )
                 g = to_gray(img)
                 out["image_id"].append(int(row.image_id))
                 dh = dhash64(img)

@@ -369,14 +369,28 @@ def _decode_scan(data, pos, frame, scan, qts, huffs, restart_interval):
         np.concatenate(out_chunks) if out_chunks else np.empty(0, np.uint8)
     )
 
-    # pad each segment so the reader never runs off the end mid-byte
+    # pad each segment so the reader never runs off the end mid-byte; the
+    # TRUE length is kept so consuming any fabricated pad bit is detected —
+    # otherwise a truncated entropy stream can decode the missing MCUs from
+    # zeros into silently-wrong pixels instead of failing
+    true_lens = [len(s) for s in segments]
     readers = [
         _BitReader(np.concatenate([s, np.zeros(8, dtype=np.uint8)])) for s in segments
     ]
+
+    def _check_exhausted(rd: _BitReader, idx: int) -> None:
+        tl = true_lens[idx]
+        if rd.pos > tl or (rd.pos == tl and rd.bit > 0):
+            raise ValueError(
+                "jpeg: entropy stream exhausted before all MCUs decoded "
+                "(truncated payload)"
+            )
+
     seg_idx = 0
     r = readers[0]
     for m in range(n_mcu):
         if restart_interval and m and m % restart_interval == 0:
+            _check_exhausted(r, seg_idx)
             seg_idx += 1
             r = readers[seg_idx]
             for comp, _, _ in scan:
@@ -406,6 +420,7 @@ def _decode_scan(data, pos, frame, scan, qts, huffs, restart_interval):
                             raise ValueError("jpeg: AC run past block end")
                         blk[k] = _extend(r.receive(ss), ss)
                         k += 1
+    _check_exhausted(r, seg_idx)
 
     # dequantize + dezigzag + IDCT per component, vectorized over all blocks
     planes = []

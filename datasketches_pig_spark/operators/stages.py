@@ -19,6 +19,7 @@ import hashlib
 
 from datasketches_pig_spark.audioops.codecs import decode_clip
 from datasketches_pig_spark.config import DedupConfig
+from datasketches_pig_spark.decoders import audio_decoder_snapshot
 from datasketches_pig_spark.operators.shingle import (
     audio_shingle_hashes,
     text_shingle_hashes,
@@ -52,11 +53,12 @@ def decode_stage(clips: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
     the production signature path fuses decoding into ``signature_stage`` so
     PCM is never materialized.
     """
+    ext = audio_decoder_snapshot()  # plan-build-time capture → executors
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pcms = [
-                decode_clip(b, c, int(s)).astype("<f4").tobytes()
+                decode_clip(b, c, int(s), decoders=ext).astype("<f4").tobytes()
                 for b, c, s in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"])
             ]
             yield pd.DataFrame(
@@ -92,6 +94,7 @@ def signature_stage(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
     bc, rpb = cfg.band_count, cfg.rows_per_band
     text_band_seed = _band_seed(cfg, "text")
     audio_band_seed = _band_seed(cfg, "audio")
+    ext = audio_decoder_snapshot()  # plan-build-time capture → executors
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -112,7 +115,7 @@ def signature_stage(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
 
             # --- decode + audio shingles ---
             pcms = [
-                decode_clip(b, c, int(s))
+                decode_clip(b, c, int(s), decoders=ext)
                 for b, c, s in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"])
             ]
             a_sets = audio_shingle_hashes(pcms, list(pdf["sr_hz"]), cfg)

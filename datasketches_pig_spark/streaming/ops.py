@@ -149,6 +149,79 @@ def streaming_first_seen(keyed: DataFrame) -> DataFrame:
     )
 
 
+_REPLAY_STATE = "n long, s double, sketch array<long>"
+_REPLAY_OUT = (
+    "event_type string, n_events long, sum_value double, distinct_users long"
+)
+
+
+def streaming_replay_stats(
+    events: DataFrame, k: int = 1024, seed: int = 9001
+) -> DataFrame:
+    """Genuinely stateful streaming replay: per ``event_type``, CUMULATIVE
+    (event count, value sum, KMV distinct-user sketch) carried across
+    micro-batches in ``applyInPandasWithState``; after every batch in which
+    a key appears, the running totals are emitted.
+
+    This is the oracle-gated stateful path (registry query
+    ``streaming_replay``): the final emission per key equals the plain
+    batch ``GROUP BY`` over the whole log **only if state survives every
+    micro-batch boundary** — a state loss replaces cumulative totals with
+    per-batch ones and the hash check fails.  ``distinct_users`` is exact
+    while the sketch retains < k hashes (the exact-below-k contract), the
+    regime the sf0.01 gate runs in; past k it is the KMV estimate.
+
+    Input: streaming DataFrame with (event_type string, user_id long,
+    value double).
+    """
+    from datasketches_pig_spark.functions.murmur3 import murmur3_bytes_batch
+    from datasketches_pig_spark.operators.signatures import (
+        kmv_distinct_estimate,
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, s, prev = state.get
+            sketch = np.array(prev, dtype=np.int64).view(np.uint64)
+        else:
+            n, s, sketch = 0, 0.0, np.empty(0, dtype=np.uint64)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += int(len(pdf))
+            s += float(pdf["value"].to_numpy(dtype=np.float64).sum())
+            vals = [
+                str(int(u)).encode("utf-8") if u is not None else None
+                for u in pdf["user_id"]
+            ]
+            h1, _, valid = murmur3_bytes_batch(vals, seed)
+            sketch = np.unique(np.concatenate([sketch, h1[valid]]))[:k]
+        state.update((int(n), float(s), sketch.view(np.int64).tolist()))
+        du = (
+            len(sketch)
+            if len(sketch) < k
+            else int(round(kmv_distinct_estimate(sketch, k)))
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_events": [int(n)],
+                "sum_value": [float(s)],
+                "distinct_users": [int(du)],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=_REPLAY_OUT,
+        stateStructType=_REPLAY_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_sliding_counts(
     events: DataFrame,
     window: str = "1 hour",

@@ -1,0 +1,94 @@
+"""Deterministic multi-micro-batch replay harness.
+
+Drives a *genuinely stateful* streaming operator
+(``ops.streaming_replay_stats``, ``applyInPandasWithState``) over a batch
+events table in a way that is deterministic enough to hash-check against a
+plain ANSI-SQL oracle:
+
+1. the table is split into ``n_slices`` deterministic slices by
+   ``event_id % n_slices`` and written as one parquet file each;
+2. a file-source stream with ``maxFilesPerTrigger=1`` + ``availableNow``
+   replays them as (at least) ``n_slices`` micro-batches through the
+   stateful operator into a memory sink;
+3. the final per-key state is recovered order-independently: cumulative
+   ``n_events`` is strictly increasing across a key's emissions, so the
+   struct-max per key IS the last emission — no dependence on which slice
+   a micro-batch happened to process first.
+
+The result equals ``SELECT event_type, COUNT(*), SUM(value),
+COUNT(DISTINCT user_id) ... GROUP BY event_type`` over the whole table
+IFF state survives every micro-batch boundary, which is exactly what the
+registry gate (``streaming_replay``) pins.  On a real cluster the same
+operator runs over the live source (Kafka / file drop) — the slicing here
+only exists to force a deterministic multi-batch replay of a static table.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from datasketches_pig_spark.streaming.ops import streaming_replay_stats
+
+
+def replay_events(
+    spark: SparkSession,
+    events: DataFrame,
+    n_slices: int = 6,
+    k: int = 1024,
+    seed: int = 9001,
+) -> DataFrame:
+    """Replay ``events`` (event_id, ts, user_id, event_type, value, …)
+    through the stateful per-type accumulator in ``n_slices`` micro-batches;
+    returns the final (event_type, n_events, sum_value, distinct_users)."""
+    base = tempfile.mkdtemp(prefix="dsps_replay_")
+    stream_dir = os.path.join(base, "stream")
+    os.makedirs(stream_dir)
+    for i in range(n_slices):
+        slice_dir = os.path.join(base, f"s{i}")
+        (
+            events.filter(F.pmod(F.col("event_id"), F.lit(n_slices)) == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(slice_dir)
+        )
+        (part,) = glob.glob(os.path.join(slice_dir, "part-*.parquet"))
+        shutil.copy(part, os.path.join(stream_dir, f"{i:04d}.parquet"))
+
+    src = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .select("event_type", "user_id", "value")
+    )
+    out = streaming_replay_stats(src, k=k, seed=seed)
+    qname = f"replay_{uuid.uuid4().hex[:12]}"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    emitted = spark.table(qname)
+    # last emission per key = struct-max on the strictly-increasing n_events
+    return (
+        emitted.groupBy("event_type")
+        .agg(
+            F.max(F.struct("n_events", "sum_value", "distinct_users")).alias("m")
+        )
+        .select(
+            "event_type",
+            F.col("m.n_events").alias("n_events"),
+            F.col("m.sum_value").alias("sum_value"),
+            F.col("m.distinct_users").alias("distinct_users"),
+        )
+    )

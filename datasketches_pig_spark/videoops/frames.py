@@ -36,8 +36,19 @@ FRAME_SCHEMA = (
 )
 
 
-def decode_frames(blob: bytes, codec: str, width: int, height: int) -> np.ndarray:
-    """binary → (n_frames, H, W, 3) uint8.  Stub codecs raise."""
+def decode_frames(
+    blob: bytes,
+    codec: str,
+    width: int,
+    height: int,
+    decoders: dict | None = None,
+) -> np.ndarray:
+    """binary → (n_frames, H, W, 3) uint8.
+
+    ``decoders`` is an external-decoder table (codec tag → callable, see
+    ``datasketches_pig_spark/decoders.py``) consulted before the stub raise;
+    Spark kernels pass the plan-build-time registry snapshot, ``None`` reads
+    the live process-local registry."""
     if codec == "rawrgb":
         arr = np.frombuffer(blob, dtype=np.uint8)
         frame_sz = width * height * 3
@@ -54,10 +65,23 @@ def decode_frames(blob: bytes, codec: str, width: int, height: int) -> np.ndarra
                 f"metadata {(height, width)}"
             )
         return frames
+    from datasketches_pig_spark import decoders as _reg
+
+    table = decoders if decoders is not None else _reg.video_decoder_snapshot()
+    fn = table.get(codec)
+    if fn is not None:
+        frames = _reg.validate_frames(fn(blob, width, height), codec)
+        if frames.shape[1:3] != (height, width):
+            raise ValueError(
+                f"registered decoder for '{codec}' returned frames "
+                f"{frames.shape[1:3]}, metadata says {(height, width)}"
+            )
+        return frames
     if codec in STUB_CODECS:
         raise NotImplementedError(
-            f"video codec '{codec}' needs an external decoder not present in "
-            "this container; wire it in videoops/frames.py:decode_frames"
+            f"video codec '{codec}' needs an external decoder: register one "
+            "with datasketches_pig_spark.decoders.register_video_decoder("
+            f"'{codec}', fn) before building the pipeline"
         )
     raise ValueError(f"unknown video codec {codec!r}")
 
@@ -67,13 +91,17 @@ def frame_sample_stage(videos: DataFrame, stride: int = 5) -> DataFrame:
     (every ``stride``-th frame) with perceptual dHash + luma stats."""
     if stride < 1:
         raise ValueError("stride must be >= 1")
+    from datasketches_pig_spark.decoders import video_decoder_snapshot
+
+    ext = video_decoder_snapshot()  # plan-build-time capture → executors
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("video_id", "frame_idx", "dhash", "mean_gray", "std_gray")}
             for row in pdf.itertuples(index=False):
                 frames = decode_frames(
-                    bytes(row.bytes), row.codec, row.width, row.height
+                    bytes(row.bytes), row.codec, row.width, row.height,
+                    decoders=ext,
                 )
                 for idx in range(0, len(frames), stride):
                     g = to_gray(frames[idx])

@@ -26,7 +26,7 @@ implementation-dependent oracle) if:
   within 0.02 of the query threshold.
 
 Usage:  python tools/gen_adpcm_oracle.py   (prints the SQL; goes into
-``datasketches_pig_spark/oracles_adpcm.py`` under its provenance header)
+``datasketches_pig_spark/generated/oracles_adpcm.py`` under its provenance header)
 """
 
 from __future__ import annotations
