@@ -31,10 +31,7 @@ from pyspark.sql import DataFrame
 
 from datasketches_pig_spark.config import DedupConfig
 from datasketches_pig_spark.operators.shingle import normalize_text
-from datasketches_pig_spark.operators.signatures import (
-    kmv_jaccard_batch,
-    kmv_pair_stats,
-)
+from datasketches_pig_spark.operators.signatures import kmv_jaccard_batch
 
 AUDIO_JACCARD_THRESHOLD = 0.5
 PREFILTER_HAMMING = 26  # of 64 bits; clear-negative cutoff, recall-safe
@@ -195,11 +192,40 @@ def binomial_kl_bounds(
     return lb, ub
 
 
-_PREFIX_SCHEMA = (
-    "a string, b string, text_hamming int, audio_hamming int, "
-    "t_est double, t_lb double, t_ub double, "
-    "a_est double, a_lb double, a_ub double"
-)
+def prefix_hit_thresholds(
+    p: int, delta: float, taus: tuple[float, ...]
+) -> dict:
+    """Integer hit-count thresholds that make the Chernoff-KL routing a pure
+    JVM lookup: the bounds depend only on ``(hits, denom)`` with
+    ``denom ≤ p``, so for every denom d and threshold τ precompute
+
+      L[τ][d] = min { h : lb(h/d, d) ≥ τ }   (accept atom: hits ≥ L)
+      U[τ][d] = min { h : ub(h/d, d) ≥ τ }   (reject atom refuted: hits < U)
+
+    from the SAME ``binomial_kl_bounds`` bisection the Arrow kernel used —
+    the integer-grid decisions are exactly the float comparisons it made.
+    d+1 marks "no h certifies" (monotone in h, so min is well-defined).
+    """
+    taus = tuple(sorted(set(taus)))
+    L = {t: [0] * (p + 1) for t in taus}
+    U = {t: [0] * (p + 1) for t in taus}
+    for d in range(p + 1):
+        if d == 0:
+            # n = 0 → vacuous [0, 1]: lb never reaches τ>0, ub always does.
+            # Unreachable in practice (denom = 0 ⇒ both sides empty ⇒ the
+            # row is 'known'); kept for total coverage of the lookup.
+            for t in taus:
+                L[t][0] = 1
+                U[t][0] = 0
+            continue
+        hs = np.arange(d + 1)
+        lb, ub = binomial_kl_bounds(hs / d, np.full(d + 1, d), delta)
+        for t in taus:
+            lok = np.nonzero(lb >= t)[0]
+            uok = np.nonzero(ub >= t)[0]
+            L[t][d] = int(lok[0]) if len(lok) else d + 1
+            U[t][d] = int(uok[0]) if len(uok) else d + 1
+    return {"L": L, "U": U}
 
 
 def _score_full(
@@ -313,49 +339,79 @@ def _finish_scored(
     return plain_scored, border_scored
 
 
-def _prefix_scorer(p: int, delta: float):
-    """Arrow kernel for tier 1: prefix sketches (+ sketch-equality flags) →
-    per-modality (estimate, lower bound, upper bound) on the FULL-sketch
-    estimate the exact verifier would compute."""
+_I64_MIN = -(1 << 63)
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            out = {
-                "a": pdf["a"].values,
-                "b": pdf["b"].values,
-                "text_hamming": pdf["text_hamming"].values,
-                "audio_hamming": pdf["audio_hamming"].values,
-            }
-            for mod, tag in (("text", "t"), ("audio", "a")):
-                va, ca = _gather(pdf[f"a_{mod}_p"])
-                vb, cb = _gather(pdf[f"b_{mod}_p"])
-                hits, denom, union = kmv_pair_stats(va, ca, vb, cb, p)
-                est = np.zeros(len(pdf))
-                use = (denom > 0) & (ca > 0) & (cb > 0)
-                est[use] = hits[use] / denom[use]
-                lb, ub = binomial_kl_bounds(est, denom, delta)
-                # deterministic rows — the prefix value IS the full value:
-                # * an empty side → the exact verifier returns 0.0 by
-                #   convention
-                # * both prefixes complete (< p retained ⇒ the side's whole
-                #   shingle set) and union untruncated → exact Jaccard
-                # * identical full sketches (8-byte hash equality from the
-                #   slim pass) → full estimate 1.0
-                known = (ca == 0) | (cb == 0) | ((ca < p) & (cb < p) & (union <= p))
-                lb[known] = est[known]
-                ub[known] = est[known]
-                eq = pdf[f"{mod}_eq"].to_numpy(dtype=bool)
-                est[eq] = 1.0
-                lb[eq] = 1.0
-                ub[eq] = 1.0
-                out[f"{tag}_est"] = est
-                out[f"{tag}_lb"] = lb
-                out[f"{tag}_ub"] = ub
-            yield pd.DataFrame(out)
 
-    return score
+def _flipped_prefix(col: str, p: int):
+    """Bottom-p prefix of a KMV array with the sign bit flipped: the arrays
+    are ascending-unsigned uint64 stored as int64, and xor with 2^63 maps
+    unsigned order onto signed order — so every downstream JVM set/sort
+    expression can use natural long ordering."""
+    return F.transform(
+        F.slice(col, 1, p), lambda x: x.bitwiseXOR(F.lit(_I64_MIN))
+    )
+
+
+def _prefix_stat_cols(mod: str, p: int) -> list:
+    """Per-modality prefix statistics as pure JVM column algebra (no sort,
+    no Arrow): with each side internally distinct,
+
+      inter = |a ∩ b|,  union = |a| + |b| − inter,  denom = min(union, p)
+
+    and the bottom-p-restricted hit count the bounds need is bracketed by
+
+      hlo = max(inter − max(union − p, 0), 0)   (≥: at most union−p union
+                                                 elements fall outside the
+                                                 bottom-p)
+      hhi = min(inter, denom)
+
+    — enough to δ-certify the overwhelming majority of pairs without ever
+    computing the exact bottom-p intersection (pairs the bracket cannot
+    decide go to tier 2's exact full-sketch verify instead).
+
+    Emitted as FLAT unconditional columns in one projection: codegen
+    subexpression elimination dedupes the shared ``array_intersect`` across
+    them, but only OUTSIDE conditional branches — wrapping these in a
+    CASE/struct guard defeats CSE and re-evaluates the intersect per field
+    reference (measured 12× slower at 189k clips; do not 'optimize' this
+    into a guarded struct again)."""
+    a, b = F.col(f"a_{mod}_p"), F.col(f"b_{mod}_p")
+    inter = F.size(F.array_intersect(a, b))
+    ca, cb = F.size(a), F.size(b)
+    union = ca + cb - inter
+    denom = F.least(union, F.lit(p))
+    hlo = F.greatest(inter - F.greatest(union - p, F.lit(0)), F.lit(0))
+    hhi = F.least(inter, denom)
+    return [
+        inter.alias(f"{mod}_inter"),
+        union.alias(f"{mod}_union"),
+        denom.alias(f"{mod}_denom"),
+        hlo.alias(f"{mod}_hlo"),
+        hhi.alias(f"{mod}_hhi"),
+        ca.alias(f"{mod}_ca"),
+        cb.alias(f"{mod}_cb"),
+    ]
+
+
+def _prefix_atom(mod: str, hits_col, table: list, tau: float, p: int):
+    """The routing atom ``bound(mod) ≥ tau`` as JVM algebra: identical full
+    sketches certify 1.0; 'known' rows (empty side, or both prefixes
+    complete with untruncated union) carry the exact estimate; everything
+    else compares the bracketed hit count against the precomputed
+    per-denom integer threshold."""
+    d = F.col(f"{mod}_denom")
+    eq = F.col(f"{mod}_eq")
+    ca, cb = F.col(f"{mod}_ca"), F.col(f"{mod}_cb")
+    known = (ca == 0) | (cb == 0) | (
+        (ca < p) & (cb < p) & (F.col(f"{mod}_union") <= p)
+    )
+    # on known rows hlo == hhi == exact hits, so est is exact either way
+    est = F.when(
+        (d > 0) & (ca > 0) & (cb > 0), hits_col.cast("double") / d
+    ).otherwise(F.lit(0.0))
+    return eq | (known & (est >= tau)) | (
+        ~known & (hits_col >= F.element_at(F.lit(table), d + 1))
+    )
 
 
 def verify_pairs(
@@ -376,14 +432,19 @@ def verify_pairs(
        each full KMV sketch.  Clear negatives and byte-identical pairs never
        ship a sketch; pairs whose BOTH sketch digests match are accepted
        outright (identical sketches ⇒ both estimates are exactly 1.0).
-    2. **Prefix-KMV verify (Arrow, ``cfg.verify_prefix`` hashes/side —
-       default 64 of kmv_k=256, a 4× cut in the dominant shuffle bytes)** —
-       the prefix hit count is a without-replacement sample of the
-       indicators the full estimate averages, so Chernoff-KL bounds at
-       ``PREFIX_DELTA`` certify clear accepts/rejects of the composite rule
-       against the FULL-sketch decision; rows where the prefix is provably
-       the whole answer (complete sets, identical sketches, empty sides)
-       carry zero-width bounds.
+    2. **Prefix-KMV verify (pure JVM since r6, ``cfg.verify_prefix``
+       hashes/side — default 64 of kmv_k=256, a 4× cut in the dominant
+       shuffle bytes)** — the prefix hit count is a without-replacement
+       sample of the indicators the full estimate averages, so Chernoff-KL
+       bounds at ``PREFIX_DELTA`` certify clear accepts/rejects of the
+       composite rule against the FULL-sketch decision.  The bounds are
+       precomputed into per-denom integer hit thresholds
+       (``prefix_hit_thresholds``) and the hit count is bracketed from set
+       sizes alone (``_prefix_stat_cols``), so the whole tier is
+       whole-stage-codegen column algebra — no Arrow boundary, no sort;
+       rows where the prefix is provably the whole answer (complete sets,
+       identical sketches, empty sides) are decided on their exact
+       estimate.
     3. **Full-sketch verify + suffix-array containment** — only the pairs
        the bounds could not certify (near-threshold scores) fetch the full
        ~2 KB/side sketches, and of those only the borderline band joins a
@@ -395,8 +456,9 @@ def verify_pairs(
     Score-column contract: ``is_dup`` (and the pair set it induces) is
     identical across ``verify_prefix`` settings — that is what the parity
     test pins.  ``text_jaccard``/``audio_jaccard`` magnitudes are NOT:
-    on tier-1-decided rows they are the *prefix* point estimates (t_est /
-    a_est), while the ``None`` baseline reports full-sketch estimates.
+    on tier-1-decided rows they are the *prefix-set* point estimates
+    (inter/union, exact whenever the prefix union is untruncated), while
+    the ``None`` baseline reports full-sketch estimates.
     Decisions are authoritative; do not diff jaccard magnitudes across
     ``verify_prefix`` configurations.
     """
@@ -411,50 +473,6 @@ def verify_pairs(
     weak = cfg.weak_support_threshold
     prefix = cfg.verify_prefix
 
-    # slim pass first: exact-key + SimHash + sketch-digest columns are tens
-    # of bytes/pair, so the prefilter decision never touches the KMV payload;
-    # only the surviving pairs join it (second, smaller join)
-    slim_cols = ["clip_id", "exact_key", "text_simhash", "audio_simhash"]
-    # sketch digests are NULL for empty sketches, so plain (non-null-safe)
-    # equality already encodes "identical AND non-empty" — no extra size
-    # columns ride the per-pair exchanges
-    slim = signatures.select(
-        *slim_cols,
-        F.when(F.size("text_kmv") > 0, F.xxhash64("text_kmv")).alias("text_kmv_h"),
-        F.when(F.size("audio_kmv") > 0, F.xxhash64("audio_kmv")).alias("audio_kmv_h"),
-    )
-    all_slim = slim_cols + ["text_kmv_h", "audio_kmv_h"]
-    sa = slim.select(*[F.col(c).alias(f"a_{c}") for c in all_slim])
-    sb = slim.select(*[F.col(c).alias(f"b_{c}") for c in all_slim])
-    joined = (
-        pairs.join(sa, pairs.a == sa.a_clip_id)
-        .join(sb, pairs.b == sb.b_clip_id)
-        .select(
-            "a",
-            "b",
-            (F.col("a_exact_key") == F.col("b_exact_key")).alias("exact"),
-            F.bit_count(
-                F.col("a_text_simhash").bitwiseXOR(F.col("b_text_simhash"))
-            ).cast("int").alias("text_hamming"),
-            F.bit_count(
-                F.col("a_audio_simhash").bitwiseXOR(F.col("b_audio_simhash"))
-            ).cast("int").alias("audio_hamming"),
-            F.coalesce(
-                F.col("a_text_kmv_h") == F.col("b_text_kmv_h"), F.lit(False)
-            ).alias("text_eq"),
-            F.coalesce(
-                F.col("a_audio_kmv_h") == F.col("b_audio_kmv_h"), F.lit(False)
-            ).alias("audio_eq"),
-        )
-    )
-
-    # prefilter: clear negatives skip set math entirely (recall-safe: dup
-    # pairs at J≥0.5 sit far below this Hamming bar); exact pairs skip too
-    needs = (~F.col("exact")) & (
-        (F.col("text_hamming") <= PREFILTER_HAMMING)
-        | (F.col("audio_hamming") <= PREFILTER_HAMMING)
-    )
-
     def _passthrough(df: DataFrame, dup_col) -> DataFrame:
         return df.select(
             "a",
@@ -466,6 +484,49 @@ def verify_pairs(
             F.lit(False).alias("substr_ok"),
             dup_col.alias("is_dup"),
         )
+
+    # the slim prefilter columns: exact-key equality, SimHash Hamming and
+    # 8-byte sketch digests — tens of bytes/pair of whole-stage codegen
+    slim_cols = ["clip_id", "exact_key", "text_simhash", "audio_simhash"]
+    # sketch digests are NULL for empty sketches, so plain (non-null-safe)
+    # equality already encodes "identical AND non-empty" — no extra size
+    # columns ride the per-pair exchanges
+    digest_cols = [
+        F.when(F.size("text_kmv") > 0, F.xxhash64("text_kmv")).alias("text_kmv_h"),
+        F.when(F.size("audio_kmv") > 0, F.xxhash64("audio_kmv")).alias("audio_kmv_h"),
+    ]
+    slim_exprs = [
+        (F.col("a_exact_key") == F.col("b_exact_key")).alias("exact"),
+        F.bit_count(
+            F.col("a_text_simhash").bitwiseXOR(F.col("b_text_simhash"))
+        ).cast("int").alias("text_hamming"),
+        F.bit_count(
+            F.col("a_audio_simhash").bitwiseXOR(F.col("b_audio_simhash"))
+        ).cast("int").alias("audio_hamming"),
+        F.coalesce(
+            F.col("a_text_kmv_h") == F.col("b_text_kmv_h"), F.lit(False)
+        ).alias("text_eq"),
+        F.coalesce(
+            F.col("a_audio_kmv_h") == F.col("b_audio_kmv_h"), F.lit(False)
+        ).alias("audio_eq"),
+    ]
+
+    # prefilter: clear negatives skip set math entirely (recall-safe: dup
+    # pairs at J≥0.5 sit far below this Hamming bar); exact pairs skip too
+    needs = (~F.col("exact")) & (
+        (F.col("text_hamming") <= PREFILTER_HAMMING)
+        | (F.col("audio_hamming") <= PREFILTER_HAMMING)
+    )
+
+    slim = signatures.select(*slim_cols, *digest_cols)
+    all_slim = slim_cols + ["text_kmv_h", "audio_kmv_h"]
+    sa = slim.select(*[F.col(c).alias(f"a_{c}") for c in all_slim])
+    sb = slim.select(*[F.col(c).alias(f"b_{c}") for c in all_slim])
+    joined = (
+        pairs.join(sa, pairs.a == sa.a_clip_id)
+        .join(sb, pairs.b == sb.b_clip_id)
+        .select("a", "b", *slim_exprs)
+    )
 
     if prefix is None:
         passthrough = _passthrough(joined.filter(~needs), F.col("exact"))
@@ -481,30 +542,41 @@ def verify_pairs(
 
     # three consumers below (merged passthrough, prefix input, and the
     # borderline remainder) — one slim-join pass instead of three;
-    # ~100 B/pair materialized. Must happen BEFORE the branches are built
+    # ~66 B/pair materialized. Must happen BEFORE the branches are built
     # so every one reads the checkpointed frame.
     joined = joined.localCheckpoint()
 
     # ---- tier 1 fused into the passthrough branch: identical full sketches
     # (both_eq) ⇒ both estimates are exactly 1.0 — accepted without any
-    # Arrow work, in the SAME emit as the prefilter passthrough (one branch
-    # of codegen instead of two; the fixed plan/compile cost of each union
-    # arm is what dominates the verify stage's non-scaling wall)
+    # set math, in the SAME emit as the prefilter passthrough.  dup
+    # condition is exact | (needs & both_eq), NOT exact | both_eq: a pair
+    # with identical bottom-k sketches but SimHash Hamming past the
+    # prefilter bar was (and in the prefix=None baseline still is) a
+    # prefilter reject — the parity contract decides it False
     both_eq = F.col("text_eq") & F.col("audio_eq")
-    # dup condition is exact | (needs & both_eq), NOT exact | both_eq: a pair
-    # with identical bottom-k sketches but SimHash Hamming past the prefilter
-    # bar was (and in the prefix=None baseline still is) a prefilter reject —
-    # the parity contract decides it False, so the fused branch must too
     passthrough = _passthrough(
         joined.filter(~needs | both_eq), F.col("exact") | (needs & both_eq)
     )
     out_cols = passthrough.columns
 
-    # ---- tier 1.5: prefix sketches + bounds (the big shuffle, p/k the size)
+    # ---- tier 1.5: prefix-KMV routing, ENTIRELY whole-stage-codegen JVM
+    # (r6): the p-hash prefixes join in sign-flipped form, per-pair stats
+    # are set-size algebra (no sort — `_prefix_stat_cols`), and the
+    # Chernoff-KL bounds become integer hit-count thresholds looked up by
+    # denom (`prefix_hit_thresholds`).  The Arrow kernel this replaces
+    # shipped ~2 KB/pair of prefix arrays across the Python boundary and
+    # cost ~16 s of the 8-core verify at 189k clips; the JVM form does the
+    # same certified routing in ~5 s with zero Python.  Pairs whose
+    # bracketed hit count cannot certify either way fall through to tier
+    # 2's exact full-sketch verify, so final decisions keep pair-for-pair
+    # parity with the verify_prefix=None baseline.
+    tables = prefix_hit_thresholds(
+        prefix, PREFIX_DELTA, (near, weak, text_thr, 0.6)
+    )
     kp = signatures.select(
         "clip_id",
-        F.slice("text_kmv", 1, prefix).alias("text_p"),
-        F.slice("audio_kmv", 1, prefix).alias("audio_p"),
+        _flipped_prefix("text_kmv", prefix).alias("text_p"),
+        _flipped_prefix("audio_kmv", prefix).alias("audio_p"),
     )
     kap = kp.select(
         F.col("clip_id").alias("a"),
@@ -516,52 +588,89 @@ def verify_pairs(
         F.col("text_p").alias("b_text_p"),
         F.col("audio_p").alias("b_audio_p"),
     )
-    # localCheckpoint: three consumers below (accept/reject/borderline)
+
+    # certain accept: PESSIMISTIC hit counts (hlo) satisfy a substr-free
+    # disjunct of the composite rule; certain reject: OPTIMISTIC hit counts
+    # (hhi) refute every disjunct (d2's substring alternative means reject
+    # may use only the audio bound) — both sound w.r.t. the full-sketch
+    # estimate at the same δ since the bracketed true hits sit between them
+    L, U = tables["L"], tables["U"]
+
+    def _lb(mod, tau):
+        return _prefix_atom(mod, F.col(f"{mod}_hlo"), L[tau], tau, prefix)
+
+    def _ub(mod, tau):
+        return _prefix_atom(mod, F.col(f"{mod}_hhi"), U[tau], tau, prefix)
+
+    accept = (
+        (_lb("text", near) & _lb("audio", weak))
+        | (_lb("audio", near) & _lb("text", weak))
+        | (_lb("text", text_thr) & _lb("audio", 0.6))
+    )
+    reject = ~(
+        (_ub("text", near) & _ub("audio", weak))
+        | _ub("audio", near)
+        | (_ub("text", text_thr) & _ub("audio", 0.6))
+    )
+
+    # localCheckpoint: two consumers below (t1-decided, borderline); the
+    # materialized rows are a handful of scalars per pair
     prefix_scored = (
         joined.filter(needs & ~both_eq)
         .select("a", "b", "text_hamming", "audio_hamming", "text_eq", "audio_eq")
         .join(kap, "a")
         .join(kbp, "b")
-        .mapInPandas(_prefix_scorer(prefix, PREFIX_DELTA), schema=_PREFIX_SCHEMA)
+        .select(
+            "a",
+            "b",
+            "text_hamming",
+            "audio_hamming",
+            "text_eq",
+            "audio_eq",
+            *_prefix_stat_cols("text", prefix),
+            *_prefix_stat_cols("audio", prefix),
+        )
+        .withColumn("t1_accept", accept)
+        .withColumn("t1_reject", reject)
         .localCheckpoint()
     )
 
-    # certain accept: lower bounds satisfy a substr-free disjunct of the
-    # composite rule; certain reject: upper bounds refute every disjunct
-    # (d2's substring alternative means reject may use only the audio bound)
-    t_lb, t_ub = F.col("t_lb"), F.col("t_ub")
-    a_lb, a_ub = F.col("a_lb"), F.col("a_ub")
-    accept = (
-        ((t_lb >= near) & (a_lb >= weak))
-        | ((a_lb >= near) & (t_lb >= weak))
-        | ((t_lb >= text_thr) & (a_lb >= 0.6))
-    )
-    reject = ~(
-        ((t_ub >= near) & (a_ub >= weak))
-        | (a_ub >= near)
-        | ((t_ub >= text_thr) & (a_ub >= 0.6))
-    )
-
-    def _emit(df: DataFrame, is_dup_col) -> DataFrame:
-        return df.select(
-            "a",
-            "b",
-            F.col("t_est").alias("text_jaccard"),
-            F.col("a_est").alias("audio_jaccard"),
-            "text_hamming",
-            "audio_hamming",
-            F.lit(False).alias("substr_ok"),
-            is_dup_col.alias("is_dup"),
+    def _est_out(mod: str):
+        """Prefix point estimate emitted on tier-1-decided rows: the
+        prefix-set Jaccard inter/union — exact (= hits/denom) whenever the
+        union is untruncated, deterministic and path-documented otherwise
+        (the score-column contract above)."""
+        return (
+            F.when(F.col(f"{mod}_eq"), F.lit(1.0))
+            .when(
+                (F.col(f"{mod}_ca") == 0) | (F.col(f"{mod}_cb") == 0),
+                F.lit(0.0),
+            )
+            .otherwise(
+                F.col(f"{mod}_inter").cast("double")
+                / F.greatest(F.col(f"{mod}_union"), F.lit(1))
+            )
         )
 
     # one branch for both tier-1 outcomes (accept wins where both certify,
     # matching the old accept-then-reject precedence) — halves the codegen
-    t1_decided = _emit(prefix_scored.filter(accept | reject), accept)
+    t1_decided = prefix_scored.filter(
+        F.col("t1_accept") | F.col("t1_reject")
+    ).select(
+        "a",
+        "b",
+        _est_out("text").alias("text_jaccard"),
+        _est_out("audio").alias("audio_jaccard"),
+        "text_hamming",
+        "audio_hamming",
+        F.lit(False).alias("substr_ok"),
+        F.col("t1_accept").alias("is_dup"),
+    )
 
     # ---- tier 2: only the uncertifiable remainder fetches full sketches
-    borderline = prefix_scored.filter(~accept & ~reject).select(
-        "a", "b", "text_hamming", "audio_hamming"
-    )
+    borderline = prefix_scored.filter(
+        ~F.col("t1_accept") & ~F.col("t1_reject")
+    ).select("a", "b", "text_hamming", "audio_hamming")
     scored = _score_full(borderline, signatures, kmv_k)
     plain_scored, border_scored = _finish_scored(
         scored, signatures, transcripts, near, weak, text_thr
