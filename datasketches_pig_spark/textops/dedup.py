@@ -419,73 +419,71 @@ def _prefix_screen(
     cands: DataFrame, sigs: DataFrame, threshold: float, p: int
 ) -> tuple[DataFrame, DataFrame]:
     """Candidate pairs → (uncertain pairs for the gram join, exact-by-prefix
-    accepted pairs).  See ``minhash_dedup_pairs`` docstring."""
-    from datasketches_pig_spark.operators.signatures import kmv_pair_stats
-    from datasketches_pig_spark.operators.verify import binomial_kl_bounds
+    accepted pairs).  See ``minhash_dedup_pairs`` docstring.
+
+    Pure JVM since r6 (same scheme as ``operators/verify.py`` tier 1.5): the
+    sketch prefixes join sign-flipped, the pair stats are set-size algebra
+    (``inter = |a∩b|``, ``union = |a|+|b|−inter``, no sort), the KL reject
+    compares the OPTIMISTIC bracketed hit count ``min(inter, denom)``
+    against a precomputed per-denom integer threshold, and exact-by-prefix
+    accepts emit ``inter/union`` — the same integer ratio the gram join
+    would compute.  No Arrow boundary: the screen's fixed toll is one join
+    plus codegen'd intersects, which is what lets it pay even on short-doc
+    corpora where the r5 Arrow form measured slower than no screen.
+    Bracketing (vs the r5 exact bottom-p hit count) can only route MORE
+    pairs to the exact gram join, never decide differently — output parity
+    is unchanged."""
+    from datasketches_pig_spark.operators.verify import prefix_hit_thresholds
+
+    U = prefix_hit_thresholds(p, _PREFIX_REJECT_DELTA, (threshold,))["U"][
+        threshold
+    ]
+    i64_min = -(1 << 63)
+    flipped = F.transform(F.col("kmv"), lambda x: x.bitwiseXOR(F.lit(i64_min)))
 
     # ONE slim join chain (id → exact count + bottom-p prefix per side);
-    # the size-ratio reject runs inside the same Arrow pass as the KL
-    # screen.  Size-rejects are rare among LSH candidates (banding selects
-    # similar docs), so shipping their ≤ 8p-byte prefixes through this join
-    # costs less than a second join stage pair would
-    sk = sigs.select("id", "n_shingles", "kmv")
+    # size-rejects are rare among LSH candidates (banding selects similar
+    # docs), so shipping their ≤ 8p-byte prefixes through this join costs
+    # less than a second join stage pair would
+    sk = sigs.select("id", "n_shingles", flipped.alias("kmvf"))
     ka = sk.select(
         F.col("id").alias("a"),
         F.col("n_shingles").alias("na"),
-        F.col("kmv").alias("a_kmv"),
+        F.col("kmvf").alias("a_kmv"),
     )
     kb = sk.select(
         F.col("id").alias("b"),
         F.col("n_shingles").alias("nb"),
-        F.col("kmv").alias("b_kmv"),
+        F.col("kmvf").alias("b_kmv"),
     )
 
-    def screen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            na = pdf["na"].to_numpy(dtype=np.int64)
-            nb = pdf["nb"].to_numpy(dtype=np.int64)
-            cells_a = [np.asarray(c, dtype=np.int64) for c in pdf["a_kmv"]]
-            cells_b = [np.asarray(c, dtype=np.int64) for c in pdf["b_kmv"]]
-            ca = np.fromiter((len(c) for c in cells_a), np.int64, len(cells_a))
-            cb = np.fromiter((len(c) for c in cells_b), np.int64, len(cells_b))
-            va = np.concatenate(cells_a) if ca.sum() else np.empty(0, np.int64)
-            vb = np.concatenate(cells_b) if cb.sum() else np.empty(0, np.int64)
-            hits, denom, union = kmv_pair_stats(va, ca, vb, cb, p)
-            est = np.zeros(len(pdf))
-            use = (denom > 0) & (ca > 0) & (cb > 0)
-            est[use] = hits[use] / denom[use]
-            exact = (ca < p) & (cb < p) & (union <= p)
-            _, ub = binomial_kl_bounds(est, denom, _PREFIX_REJECT_DELTA)
-            ub[exact] = est[exact]
-            # deterministic size-ratio bound: J <= min/max regardless of
-            # overlap (exact counts from the signature pass)
-            size_reject = np.minimum(na, nb) < threshold * np.maximum(na, nb)
-            # exact accepts: emit the jaccard directly (same integer ratio
-            # the gram join computes: hits / (na + nb - hits))
-            route = np.where(
-                size_reject,
-                0,
-                np.where(
-                    exact,
-                    np.where(est >= threshold, 2, 0),
-                    np.where(ub < threshold, 0, 1),
-                ),
-            ).astype(np.int32)
-            yield pd.DataFrame(
-                {
-                    "a": pdf["a"].values,
-                    "b": pdf["b"].values,
-                    "jaccard": est,
-                    "route": route,
-                }
-            )
+    inter = F.size(F.array_intersect("a_kmv", "b_kmv"))
+    ca, cb = F.size("a_kmv"), F.size("b_kmv")
+    union = ca + cb - inter
+    denom = F.least(union, F.lit(p))
+    exact = (ca < p) & (cb < p) & (union <= p)
+    est = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    # optimistic hit count: true bottom-p hits ≤ min(inter, denom), so
+    # "even hhi can't reach the threshold's minimal certifying hits" is a
+    # sound reject at the same δ as the r5 exact-hits form
+    hhi = F.least(inter, denom)
+    ub_ge_thr = hhi >= F.element_at(F.lit(U), denom + 1)
+    # deterministic size-ratio bound: J <= min/max regardless of overlap
+    # (exact distinct-gram counts from the signature pass)
+    size_reject = F.least("na", "nb") < threshold * F.greatest("na", "nb")
+    route = (
+        F.when(size_reject, F.lit(0))
+        .when(exact, F.when(est >= threshold, F.lit(2)).otherwise(F.lit(0)))
+        .when(~ub_ge_thr, F.lit(0))
+        .otherwise(F.lit(1))
+    )
 
     screened = (
         cands.join(ka, "a")
         .join(kb, "b")
-        .mapInPandas(screen, schema="a long, b long, jaccard double, route int")
+        .select(
+            "a", "b", est.alias("jaccard"), route.alias("route")
+        )
         .localCheckpoint()
     )
     uncertain = screened.filter(F.col("route") == 1).select("a", "b")
