@@ -114,3 +114,30 @@ def test_kl_bounds_shape_and_monotonicity(ests, n):
     else:
         lb2, ub2 = binomial_kl_bounds(est, 4 * ns, PREFIX_DELTA)
         assert (lb2 >= lb - 1e-9).all() and (ub2 <= ub + 1e-9).all()
+
+
+@given(
+    st.sampled_from([8, 16, 64]),
+    st.sampled_from([0.5, 0.7, 0.8, 0.9]),
+    st.sampled_from([1e-9, 1e-12]),
+)
+@settings(max_examples=30, deadline=None)
+def test_integer_thresholds_reproduce_float_bisection(p, tau, delta):
+    """prefix_hit_thresholds: the precomputed integer grid makes EXACTLY the
+    decisions the per-pair float bisection made — for every (hits, denom)
+    cell, `hits >= L[tau][denom]` iff `lb(hits/denom, denom) >= tau` and
+    `hits >= U[tau][denom]` iff `ub(hits/denom, denom) >= tau`.  This is
+    the claim that lets the JVM routing replace the Arrow kernel without
+    changing a single routing decision."""
+    from datasketches_pig_spark.operators.verify import prefix_hit_thresholds
+
+    tables = prefix_hit_thresholds(p, delta, (tau,))
+    L, U = tables["L"][tau], tables["U"][tau]
+    for d in range(1, p + 1):
+        hs = np.arange(d + 1)
+        lb, ub = binomial_kl_bounds(hs / d, np.full(d + 1, d), delta)
+        np.testing.assert_array_equal(hs >= L[d], lb >= tau)
+        np.testing.assert_array_equal(hs >= U[d], ub >= tau)
+        # monotone-threshold sanity: L certifies accepts, U refutes rejects,
+        # and an accept-certifying hit count always refutes the reject
+        assert U[d] <= L[d]
