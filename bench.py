@@ -40,6 +40,7 @@ HEADLINE_QUERIES = [
     "dedup_jpeg",
     "dedup_adpcm",
     "dedup_mjpeg",
+    "streaming_replay",
 ]
 
 GROUPS_BY_SF = {"0.001": 150, "0.01": 500, "0.1": 2000}

@@ -421,18 +421,22 @@ def _prefix_screen(
     """Candidate pairs → (uncertain pairs for the gram join, exact-by-prefix
     accepted pairs).  See ``minhash_dedup_pairs`` docstring.
 
-    Pure JVM since r6 (same scheme as ``operators/verify.py`` tier 1.5): the
-    sketch prefixes join sign-flipped, the pair stats are set-size algebra
-    (``inter = |a∩b|``, ``union = |a|+|b|−inter``, no sort), the KL reject
-    compares the OPTIMISTIC bracketed hit count ``min(inter, denom)``
-    against a precomputed per-denom integer threshold, and exact-by-prefix
-    accepts emit ``inter/union`` — the same integer ratio the gram join
-    would compute.  No Arrow boundary: the screen's fixed toll is one join
-    plus codegen'd intersects, which is what lets it pay even on short-doc
-    corpora where the r5 Arrow form measured slower than no screen.
-    Bracketing (vs the r5 exact bottom-p hit count) can only route MORE
-    pairs to the exact gram join, never decide differently — output parity
-    is unchanged."""
+    Pure JVM since r6: the sketch prefixes join sign-flipped and the KL
+    reject compares the EXACT bottom-``denom``-of-union hit count against a
+    precomputed per-denom integer threshold (``prefix_hit_thresholds``), so
+    routing decisions are bit-identical to the r5 Arrow kernel's — with no
+    Arrow boundary.  Unlike the clip verify's tier 1.5
+    (``operators/verify.py``), which brackets the hit count from unsorted
+    set sizes and defers ambiguity to a cheap full-sketch tier 2, the text
+    screen PAYS the per-pair ``array_sort(array_union(...))`` of ≤ 2p
+    longs: its "tier 2" is the full gram join, and the bracket
+    ``min(inter, denom)`` is far too optimistic on long docs to reject
+    anything — both prefixes cover the same hash range, so
+    ``inter ≈ 2J/(1+J)·p`` while the true union-restricted hit count is
+    ``J·p`` (at J = 0.44, p = 128: bracket 78 vs true 56 — the bracket
+    form measured a ~9% reject rate on a boilerplate corpus where the
+    exact form rejects ~90%).  Exact-by-prefix accepts emit
+    ``inter/union`` — the same integer ratio the gram join would compute."""
     from datasketches_pig_spark.operators.verify import prefix_hit_thresholds
 
     U = prefix_hit_thresholds(p, _PREFIX_REJECT_DELTA, (threshold,))["U"][
@@ -457,17 +461,21 @@ def _prefix_screen(
         F.col("kmvf").alias("b_kmv"),
     )
 
-    inter = F.size(F.array_intersect("a_kmv", "b_kmv"))
+    # exact pair stats in one codegen projection: the sorted distinct union
+    # of the two ≤ p-element prefixes (sign-flipped, so signed sort order IS
+    # unsigned hash order) gives union size, the bottom-denom cutoff, and —
+    # filtering the intersection at the cutoff — the exact bottom-denom-of-
+    # union hit count the KL threshold table is indexed by
+    u_sorted = F.array_sort(F.array_union("a_kmv", "b_kmv"))
+    union = F.size(u_sorted)
     ca, cb = F.size("a_kmv"), F.size("b_kmv")
-    union = ca + cb - inter
+    inter = ca + cb - union
     denom = F.least(union, F.lit(p))
+    cutoff = F.element_at(u_sorted, denom)
+    hits = F.size(F.filter(F.array_intersect("a_kmv", "b_kmv"), lambda x: x <= cutoff))
     exact = (ca < p) & (cb < p) & (union <= p)
     est = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
-    # optimistic hit count: true bottom-p hits ≤ min(inter, denom), so
-    # "even hhi can't reach the threshold's minimal certifying hits" is a
-    # sound reject at the same δ as the r5 exact-hits form
-    hhi = F.least(inter, denom)
-    ub_ge_thr = hhi >= F.element_at(F.lit(U), denom + 1)
+    ub_ge_thr = hits >= F.element_at(F.lit(U), denom + 1)
     # deterministic size-ratio bound: J <= min/max regardless of overlap
     # (exact distinct-gram counts from the signature pass)
     size_reject = F.least("na", "nb") < threshold * F.greatest("na", "nb")

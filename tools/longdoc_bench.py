@@ -1,20 +1,32 @@
-"""Long-document evidence for the text prefix screen (VERDICT r5 §3).
+"""Long-document evidence for the text prefix screen (VERDICT r5 §3, r6).
 
 The corpus-adaptive gate in ``textops/dedup.py:minhash_dedup_pairs``
 auto-disables the prefix screen below ``4 * prefix_verify`` mean shingles,
-resting on a measured short-doc LOSS (~80-shingle docs: ON 93s vs OFF
-83-88s).  The asymptotic win the screen exists for — 10³–10⁴-shingle web
-pages, where the gram join it displaces shuffles thousands of shingles per
-candidate side — was argued, not measured.  This tool measures it:
+resting on a measured short-doc LOSS of the r5 Arrow screen.  The win the
+screen exists for is 10³–10⁴-shingle web pages — but measurement (r6) and
+the bound algebra agree the win region is narrower than "long docs":
 
-  gen   <dir> <n_docs>   seeded corpus of 1.5k-4k-WORD docs (~1.5k-4k
-                         shingles at n=3), 8%% near-dup rate
+The KL reject fires when ``ub(est, p) < τ``, i.e. ``KL(est‖τ) >
+ln(2/δ)/p``.  At p=64, δ=1e-12, τ=0.8 that is est ≲ 0.37 — while b32/r4
+banding only emits J ≲ 0.37 pairs as candidates ~25-35%% of the time.  A
+corpus whose near-dups all sit at/above threshold gives the screen NOTHING
+to reject (every candidate routes to the gram join anyway) and the screen
+is pure toll.  The screen pays where the candidate stream carries mid-J
+mass — boilerplate/template families at J ≈ 0.4-0.6, pervasive in web
+corpora — and that regime needs p=128 (reject cut est ≲ 0.50, where
+banding catch is 74-87%%).  This tool generates exactly that corpus shape
+and measures OFF vs ON(p=64) vs ON(p=128):
+
+  gen   <dir> <n_docs>   seeded corpus of 1.5k-4k-WORD docs: 8%% true
+                         near-dups (1-in-40 word edits, J≈0.86) + 30%%
+                         boilerplate pairs (1-in-6 edits, J≈0.44 — banding
+                         catches ~69%%, the p=128 screen rejects ~90%%)
   run   <dir> <cores> <mode>   one timed minhash_dedup_pairs run; mode =
-                         on (prefix_min_mean_shingles=0, screen forced) |
+                         on64 | on128 (screen forced at that prefix) |
                          off (prefix_verify=None, join-everything baseline) |
-                         auto (default gate — must pick ON here)
-  all   [n_docs]         gen + interleaved taskset-pinned on/off pairs
-                         (the same steal-hygiene as scaling_bench.py)
+                         auto (default gate)
+  all   [n_docs]         gen + interleaved taskset-pinned off/on64/on128
+                         rounds (the same steal-hygiene as scaling_bench.py)
 
 Output: one JSON line per run with wall, pair count (must be identical
 across modes — parity), and the chosen mode.
@@ -43,11 +55,23 @@ def gen(out_dir: str, n_docs: int) -> None:
     vocab = np.array([f"w{i:05d}" for i in range(30000)])
     texts: list[str] = []
     for i in range(n_docs):
-        if i > 50 and rng.random() < 0.08:
+        r = rng.random() if i > 50 else 1.0
+        if r < 0.08:
+            # true near-dup: 1-in-40 word edits -> shingle change f <= 3/40,
+            # J = (1-f)/(1+f) >= 0.86 (above tau=0.8)
             src = int(rng.integers(0, i))
             words = texts[src].split()
-            # edit 1 in 12 words — keeps pairs near/above J=0.8
-            for pos in rng.integers(0, len(words), size=max(len(words) // 12, 1)):
+            for pos in rng.integers(0, len(words), size=max(len(words) // 40, 1)):
+                words[pos] = str(vocab[rng.integers(0, len(vocab))])
+            texts.append(" ".join(words))
+        elif r < 0.38:
+            # boilerplate: 1-in-6 edits.  Shingle-survival accounts for
+            # window overlap: P(3-gram untouched) = exp(-3/6) = 0.61, so
+            # J = u/(2-u) ~= 0.44 (mid-band: banding emits it as a
+            # candidate ~69%, the final filter drops it)
+            src = int(rng.integers(0, i))
+            words = texts[src].split()
+            for pos in rng.integers(0, len(words), size=max(len(words) // 6, 1)):
                 words[pos] = str(vocab[rng.integers(0, len(vocab))])
             texts.append(" ".join(words))
         else:
@@ -70,7 +94,8 @@ def run(in_dir: str, cores: int, mode: str) -> None:
     from datasketches_pig_spark.textops.dedup import minhash_dedup_pairs
 
     kw = {
-        "on": {"prefix_verify": 64, "prefix_min_mean_shingles": 0},
+        "on64": {"prefix_verify": 64, "prefix_min_mean_shingles": 0},
+        "on128": {"prefix_verify": 128, "prefix_min_mean_shingles": 0},
         "off": {"prefix_verify": None},
         "auto": {},
     }[mode]
@@ -117,28 +142,25 @@ def all_(n_docs: int) -> None:
 
     print(json.dumps(sub(["gen", d, str(n_docs)])), file=sys.stderr)
     cores = int(os.environ.get("SPARK_GRAFT_LONGDOC_CORES", "8"))
-    pairs = int(os.environ.get("SPARK_GRAFT_LONGDOC_PAIRS", "3"))
+    rounds = int(os.environ.get("SPARK_GRAFT_LONGDOC_PAIRS", "3"))
     results = []
-    for _ in range(pairs):
-        r_on = sub(["run", d, str(cores), "on"], cpus=cores)
-        r_off = sub(["run", d, str(cores), "off"], cpus=cores)
-        assert r_on["dup_pairs"] == r_off["dup_pairs"], "parity violated"
-        results.append(
-            {
-                "on": r_on,
-                "off": r_off,
-                "speedup_on_over_off": round(r_off["wall_s"] / r_on["wall_s"], 3),
-            }
-        )
-        print(json.dumps(results[-1]), file=sys.stderr)
-    # the auto gate must pick ON for this corpus (mean shingles >> 4*prefix)
-    r_auto = sub(["run", d, str(cores), "auto"], cpus=cores)
+    for _ in range(rounds):
+        row = {}
+        for mode in ("off", "on64", "on128"):
+            row[mode] = sub(["run", d, str(cores), mode], cpus=cores)
+        assert (
+            row["off"]["dup_pairs"] == row["on64"]["dup_pairs"] == row["on128"]["dup_pairs"]
+        ), f"parity violated: {row}"
+        row["speedup_on64"] = round(row["off"]["wall_s"] / row["on64"]["wall_s"], 3)
+        row["speedup_on128"] = round(row["off"]["wall_s"] / row["on128"]["wall_s"], 3)
+        results.append(row)
+        print(json.dumps(row), file=sys.stderr)
     print(
         json.dumps(
             {
-                "pairs": results,
-                "auto": r_auto,
-                "speedups": [r["speedup_on_over_off"] for r in results],
+                "rounds": results,
+                "speedups_on64": [r["speedup_on64"] for r in results],
+                "speedups_on128": [r["speedup_on128"] for r in results],
             }
         )
     )
