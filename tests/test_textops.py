@@ -456,22 +456,21 @@ def test_minhash_prefix_verify_parity(spark):
             df, "doc_id", "text", 3, 0.5, prefix_verify=None
         ).collect()
     }
-    pref = {
-        (r["a"], r["b"]): r["jaccard"]
-        for r in minhash_dedup_pairs(
-            # prefix_min_mean_shingles=0 forces the screen: this mixed corpus
-            # is mostly short docs, so the r5 corpus-adaptive gate would
-            # otherwise (correctly) turn the screen off and the test would
-            # compare the baseline with itself
-            df, "doc_id", "text", 3, 0.5, prefix_verify=64,
-            prefix_min_mean_shingles=0,
-        ).collect()
-    }
-    assert set(base) == set(pref), (
-        set(base) ^ set(pref)
-    )
-    for k in base:
-        assert abs(base[k] - pref[k]) < 1e-12, (k, base[k], pref[k])
+    for p in (64, 128):  # 128 = the r6 default; 64 must stay parity-safe
+        pref = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in minhash_dedup_pairs(
+                # prefix_min_mean_shingles=0 forces the screen: this mixed
+                # corpus is mostly short docs, so the corpus-adaptive gate
+                # would otherwise (correctly) turn the screen off and the
+                # test would compare the baseline with itself
+                df, "doc_id", "text", 3, 0.5, prefix_verify=p,
+                prefix_min_mean_shingles=0,
+            ).collect()
+        }
+        assert set(base) == set(pref), (p, set(base) ^ set(pref))
+        for k in base:
+            assert abs(base[k] - pref[k]) < 1e-12, (p, k, base[k], pref[k])
     assert len(base) >= 40  # the corpus actually produced dup pairs
 
 
