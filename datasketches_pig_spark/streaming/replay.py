@@ -47,18 +47,30 @@ def replay_events(
     """Replay ``events`` (event_id, ts, user_id, event_type, value, …)
     through the stateful per-type accumulator in ``n_slices`` micro-batches;
     returns the final (event_type, n_events, sum_value, distinct_users)."""
-    base = tempfile.mkdtemp(prefix="dsps_replay_")
+    tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    base = tempfile.mkdtemp(prefix="dsps_replay_", dir=tmp_root)
     stream_dir = os.path.join(base, "stream")
     os.makedirs(stream_dir)
-    for i in range(n_slices):
-        slice_dir = os.path.join(base, f"s{i}")
-        (
-            events.filter(F.pmod(F.col("event_id"), F.lit(n_slices)) == i)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(slice_dir)
+    # ONE scan + one shuffle for all slices (was: n_slices filtered scans):
+    # repartitioning BY the slice value puts every slice's rows into exactly
+    # one task, partitionBy splits hash-colliding slices into their own
+    # directories, and the event_id sort pins a deterministic row order
+    slices_dir = os.path.join(base, "slices")
+    (
+        events.withColumn(
+            "slice", F.pmod(F.col("event_id"), F.lit(n_slices))
         )
-        (part,) = glob.glob(os.path.join(slice_dir, "part-*.parquet"))
+        .repartition(n_slices, "slice")
+        .sortWithinPartitions("slice", "event_id")
+        .write.partitionBy("slice")
+        .mode("overwrite")
+        .parquet(slices_dir)
+    )
+    for i in range(n_slices):
+        parts = glob.glob(os.path.join(slices_dir, f"slice={i}", "part-*.parquet"))
+        if not parts:
+            continue  # empty slice writes no directory: nothing to replay
+        (part,) = parts
         shutil.copy(part, os.path.join(stream_dir, f"{i:04d}.parquet"))
 
     src = (
@@ -69,15 +81,25 @@ def replay_events(
     )
     out = streaming_replay_stats(src, k=k, seed=seed)
     qname = f"replay_{uuid.uuid4().hex[:12]}"
-    query = (
-        out.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    # the per-type state op has a handful of keys, but every micro-batch
+    # pays a state-store load/commit PER SHUFFLE PARTITION — at the session
+    # default (2x cores) that is ~2 s/batch of pure state-store overhead.
+    # Scope the streaming query to a few state partitions (baked into the
+    # fresh checkpoint at batch 0) and restore the session conf after.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     emitted = spark.table(qname)
     # last emission per key = struct-max on the strictly-increasing n_events
     return (
