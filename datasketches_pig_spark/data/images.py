@@ -32,6 +32,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import numpy as np
+import pyspark.sql.functions as F
 
 GRID_H, GRID_W = 8, 9  # dHash geometry: 9x8 grayscale -> 8x8 comparisons
 CELL = 8  # pixels per cell edge; aligns cells with JPEG 8x8 blocks
@@ -113,4 +114,9 @@ def synth_jpeg_frame(ids_df, id_col: str = "doc_id"):
                 }
             )
 
-    return ids_df.select(id_col).mapInPandas(run, schema=IMAGE_SCHEMA)
+    # spread the synth work: the id frame usually arrives as one filtered
+    # parquet partition, which would serialize the per-item codec chain
+    # (and everything fused downstream of it) into one task
+    par = ids_df.sparkSession.sparkContext.defaultParallelism
+    ids_df = ids_df.select(id_col).repartition(par, F.col(id_col))
+    return ids_df.mapInPandas(run, schema=IMAGE_SCHEMA)
