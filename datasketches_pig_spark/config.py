@@ -45,6 +45,18 @@ class DedupConfig:
                                      # bounds cannot certify the composite
                                      # rule fetch the full sketch (None =
                                      # single-tier full-sketch verify)
+    verify_prefix_min_pairs: int = 500_000
+                                     # size-adaptive gate (r6): below this
+                                     # many candidate pairs the prefix
+                                     # tier's fixed plan/codegen cost
+                                     # exceeds the shuffle bytes it saves
+                                     # (measured: +2.5 s at ~100 k pairs,
+                                     # −6-10 s at 1.8 M), so verify drops
+                                     # to the single-tier path — decisions
+                                     # are parity-identical by the r5
+                                     # bound construction. 0 disables the
+                                     # gate (tier follows verify_prefix
+                                     # unconditionally)
     snr_db: float = 30.0             # decoded-PCM invariant bar
     max_bucket_size: int = 64        # LSH bucket cap before salting/split
     verify_max_shingles: int = 8192  # cap on shingle-set size shipped to verify
@@ -74,6 +86,8 @@ class DedupConfig:
                 f"{self.verify_prefix} against kmv_k={self.kmv_k} is either "
                 "too noisy to bound or not a prefix at all"
             )
+        if self.verify_prefix_min_pairs < 0:
+            raise ValueError("verify_prefix_min_pairs must be >= 0")
 
     def config_hash(self) -> str:
         """Deterministic hash of the full config — stamped into lineage rows."""

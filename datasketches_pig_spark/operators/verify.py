@@ -472,6 +472,17 @@ def verify_pairs(
     near = cfg.near_exact_threshold
     weak = cfg.weak_support_threshold
     prefix = cfg.verify_prefix
+    # size-adaptive gate (r6): the prefix tier trades ~4 KB/pair of shuffle
+    # for a bigger plan (extra join + two localCheckpoint barriers + wider
+    # codegen).  Below ~half a million candidate pairs the fixed cost wins
+    # (measured at 9.5 k clips / ~100 k pairs: verified 4.9–5.9 s tiered vs
+    # 2.3–2.4 s single-tier; at 189 k clips / 1.8 M pairs the tier saves
+    # 6–10 s of an 8-core verify).  Callers pass `pairs` materialized (the
+    # pipeline checkpoints the candidates stage), so the count is a cached
+    # scan, and decisions are parity-identical either way by construction.
+    if prefix is not None and cfg.verify_prefix_min_pairs:
+        if pairs.count() < cfg.verify_prefix_min_pairs:
+            prefix = None
 
     def _passthrough(df: DataFrame, dup_col) -> DataFrame:
         return df.select(

@@ -81,7 +81,12 @@ def test_prefix_vs_full_parity(spark, parity_corpus):
     tier-1-decided pairs are prefix estimates by contract; is_dup is what
     clustering consumes and must match)."""
     clips, truth_pairs = parity_corpus
-    res_prefix = run_pipeline(spark, clips, DedupConfig())  # verify_prefix=64
+    # verify_prefix_min_pairs=0 disables the r6 size gate: this small corpus
+    # would otherwise route BOTH runs through the single-tier baseline and
+    # the parity assertion would compare the baseline with itself
+    res_prefix = run_pipeline(
+        spark, clips, DedupConfig(verify_prefix_min_pairs=0)
+    )  # verify_prefix=64, tier forced
     res_full = run_pipeline(spark, clips, DedupConfig(verify_prefix=None))
 
     d_p = _decisions(res_prefix)
@@ -114,7 +119,7 @@ def test_prefix_tier2_is_minority(spark, parity_corpus):
     from datasketches_pig_spark.pipeline import run_pipeline as _rp  # noqa: F401
 
     clips, _ = parity_corpus
-    cfg = DedupConfig()
+    cfg = DedupConfig(verify_prefix_min_pairs=0)  # force the tier (r6 gate)
     from datasketches_pig_spark.incremental import all_bands
 
     sigs = signature_stage(clips, cfg).localCheckpoint()
@@ -138,3 +143,64 @@ def test_prefix_tier2_is_minority(spark, parity_corpus):
         f"tier-2 saw {captured['tier2']} of {total} pairs — the prefix tier "
         "is not pulling its weight"
     )
+
+
+def test_prefix_size_gate_picks_single_tier_on_small_input(spark, parity_corpus):
+    """r6 size-adaptive gate: below verify_prefix_min_pairs candidate pairs
+    the verify must collapse to the single-tier path (every surviving pair
+    goes through _score_full) even with verify_prefix set — and the result
+    must equal the forced-tier run (parity is the gate's license)."""
+    from datasketches_pig_spark.incremental import all_bands
+    from datasketches_pig_spark.operators import verify as V
+    from datasketches_pig_spark.operators.lsh import candidate_pairs
+    from datasketches_pig_spark.operators.stages import signature_stage
+
+    clips, _ = parity_corpus
+    cfg = DedupConfig()  # default gate: 500k >> this corpus's pair count
+    sigs = signature_stage(clips, cfg).localCheckpoint()
+    cands = candidate_pairs(all_bands(sigs, cfg), cfg).distinct().localCheckpoint()
+
+    captured = {}
+    orig = V._score_full
+
+    def spy(slim_pairs, signatures, kmv_k):
+        captured["tier2"] = slim_pairs.count()
+        return orig(slim_pairs, signatures, kmv_k)
+
+    V._score_full = spy
+    try:
+        gated = V.verify_pairs(
+            cands, sigs, cfg, transcripts=clips.select("clip_id", "transcript")
+        )
+        rows_gated = {
+            (r["a"], r["b"]): r["is_dup"]
+            for r in gated.select("a", "b", "is_dup").collect()
+        }
+        tier2_gated = captured["tier2"]
+        none_run = V.verify_pairs(
+            cands,
+            sigs,
+            DedupConfig(verify_prefix=None),
+            transcripts=clips.select("clip_id", "transcript"),
+        )
+        none_run.count()
+        tier2_none = captured["tier2"]
+        forced = V.verify_pairs(
+            cands,
+            sigs,
+            DedupConfig(verify_prefix_min_pairs=0),
+            transcripts=clips.select("clip_id", "transcript"),
+        )
+        rows_forced = {
+            (r["a"], r["b"]): r["is_dup"]
+            for r in forced.select("a", "b", "is_dup").collect()
+        }
+        tier2_forced = captured["tier2"]
+    finally:
+        V._score_full = orig
+    # the gate collapsed to the single-tier plan: tier-2 sees exactly the
+    # pairs the explicit verify_prefix=None baseline sends it, and MORE than
+    # the forced-tier run (whose prefix tier decides most pairs upstream)
+    assert tier2_gated == tier2_none
+    assert tier2_forced < tier2_gated
+    assert rows_gated == rows_forced
