@@ -448,6 +448,10 @@ def incremental_dedup(
             no.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         )
         .distinct()
+        # materialized: verify_pairs' size gate counts this frame, and the
+        # verify joins consume it again — without the checkpoint the whole
+        # candidate chain would execute twice
+        .localCheckpoint()
     )
 
     all_sigs = new_sigs.unionByName(stored_sigs)
