@@ -1,6 +1,7 @@
 """External-decoder registry — the integration seam for compressed formats
 whose decoders cannot be implemented in pure numpy in this container
-(mp3/opus/aac/flac audio, webp/progressive-JPEG images, h264/vp9/av1 video).
+(mp3/opus/aac/flac audio, webp images, h264/vp9/av1 video; progressive
+JPEG decodes natively since r6 — `imageops/jpeg.py`).
 
 A real crawl-scale corpus is mostly these formats, so the engine must let a
 user plug a decoder in WITHOUT editing engine source: register a callable per

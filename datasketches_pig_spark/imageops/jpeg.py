@@ -9,10 +9,13 @@ external libraries (canonical Huffman + 8×8 DCT); PNG (``imageops/png.py``)
 closes the lossless side the same way.
 
 Scope (honest limits, enforced loudly):
-* decode — baseline sequential DCT (SOF0/SOF1), 8-bit, grayscale or YCbCr
-  with any sampling factors ≤ 2 (4:4:4 / 4:2:2 / 4:2:0), restart markers,
-  0xFF00 byte stuffing.  Progressive (SOF2) and arithmetic coding raise
-  ``NotImplementedError`` with the marker named.
+* decode — baseline sequential DCT (SOF0/SOF1) AND progressive DCT (SOF2,
+  r6: spectral selection, successive approximation, EOB runs, per-scan
+  Huffman redefinition — cross-validated against javax.imageio's decode of
+  JDK-encoded progressive streams), 8-bit, grayscale or YCbCr with any
+  sampling factors ≤ 2 (4:4:4 / 4:2:2 / 4:2:0), restart markers, 0xFF00
+  byte stuffing.  Arithmetic coding, lossless, and hierarchical modes
+  raise ``NotImplementedError`` with the marker named.
 * encode — quality-scaled Annex-K quantization tables, Annex-K Huffman
   tables, 4:4:4 or 4:2:0, deterministic output (the test-corpus generator).
 
@@ -235,18 +238,24 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
     huffs: dict[tuple[int, int], _HuffDecode] = {}
     frame = None
     restart_interval = 0
+    saw_eoi = False
 
-    while pos < len(data):
+    while pos < len(data) - 1:
         if data[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at byte {pos}")
         marker = int(data[pos + 1])
         pos += 2
         if marker == 0xD9:  # EOI
+            saw_eoi = True
             break
         if marker in (0x01, *range(0xD0, 0xD8)):  # standalone
             continue
+        if pos + 1 >= len(data):
+            raise ValueError("jpeg: truncated marker segment header")
         seglen = (int(data[pos]) << 8) | int(data[pos + 1])
         seg = data[pos + 2 : pos + seglen]
+        if len(seg) != max(seglen - 2, 0):
+            raise ValueError("jpeg: truncated marker segment (payload cut short)")
         pos += seglen
 
         if marker == 0xDB:  # DQT
@@ -271,7 +280,7 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
                 huffs[(tc, th)] = _HuffDecode(bits, vals)
         elif marker == 0xDD:  # DRI
             restart_interval = (int(seg[0]) << 8) | int(seg[1])
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline & extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec = int(seg[0])
             if prec != 8:
                 raise NotImplementedError(f"jpeg: {prec}-bit precision")
@@ -285,16 +294,39 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": int(seg[8 + 3 * i])}
                 )
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {"w": w, "h": h, "comps": comps, "progressive": marker == 0xC2}
+            if frame["progressive"]:
+                prog_scans: list[tuple] = []
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"jpeg: SOF marker 0xFF{marker:02X} (progressive/arithmetic/"
-                "hierarchical) — only baseline sequential is implemented"
+                f"jpeg: SOF marker 0xFF{marker:02X} (arithmetic/lossless/"
+                "hierarchical) — only baseline and progressive DCT are "
+                "implemented"
             )
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
             ns = int(seg[0])
+            if frame["progressive"]:
+                scomps = []
+                for i in range(ns):
+                    cs = int(seg[1 + 2 * i])
+                    td_ta = int(seg[2 + 2 * i])
+                    comp = next(c for c in frame["comps"] if c["id"] == cs)
+                    # resolve the table OBJECTS now: progressive files
+                    # legally redefine DHT between scans
+                    scomps.append(
+                        (comp, huffs.get((0, td_ta >> 4)), huffs.get((1, td_ta & 0xF)))
+                    )
+                ss = int(seg[1 + 2 * ns])
+                se = int(seg[2 + 2 * ns])
+                ah_al = int(seg[3 + 2 * ns])
+                readers, check, pos = _entropy_segments(data, pos)
+                prog_scans.append(
+                    (scomps, ss, se, ah_al >> 4, ah_al & 0xF, readers, check,
+                     restart_interval)
+                )
+                continue
             if ns != len(frame["comps"]):
                 # a conforming baseline file may split components across
                 # multiple (non-interleaved) scans; we decode only the first
@@ -316,27 +348,27 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
             )
         # else: APPn/COM — skipped
 
+    if frame is not None and frame.get("progressive") and prog_scans:
+        if not saw_eoi:
+            # a progressive prefix is decodable by design, but a missing EOI
+            # means the payload is truncated — honest-failure contract
+            raise ValueError(
+                "jpeg: progressive stream ended without EOI (truncated payload)"
+            )
+        return _decode_progressive(frame, prog_scans, qts)
     raise ValueError("jpeg: no SOS marker found")
 
 
-def _decode_scan(data, pos, frame, scan, qts, huffs, restart_interval):
-    # collect entropy bytes up to the next non-RST marker, unstuffing FF00
-    # and splitting at RSTn
-    hmax = max(c["h"] for c in frame["comps"])
-    vmax = max(c["v"] for c in frame["comps"])
-    w, h = frame["w"], frame["h"]
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    n_mcu = mcux * mcuy
+def _entropy_segments(data, pos):
+    """Collect the entropy-coded bytes starting at ``pos`` up to the next
+    non-RST marker, unstuffing FF00 and splitting at RSTn.  Returns
+    ``(readers, check_exhausted, next_pos)`` where ``next_pos`` is the byte
+    offset of the terminating marker's 0xFF (or ``len(data)``).
 
-    # per scan component: coefficient array (blocks_y, blocks_x, 8, 8)
-    for comp, td, ta in scan:
-        bx = mcux * comp["h"]
-        by = mcuy * comp["v"]
-        comp["coef"] = np.zeros((by, bx, 64), dtype=np.int64)
-        comp["pred"] = 0
-        comp["td"], comp["ta"] = td, ta
-
+    Each segment is padded so the reader never runs off the end mid-byte;
+    the TRUE length is kept so consuming any fabricated pad bit is detected
+    — otherwise a truncated entropy stream can decode the missing MCUs from
+    zeros into silently-wrong pixels instead of failing."""
     end = len(data)
     i = pos
     segments: list[np.ndarray] = []
@@ -365,26 +397,44 @@ def _decode_scan(data, pos, frame, scan, qts, huffs, restart_interval):
         i += 1
     else:
         out_chunks.append(data[cur_start:end])
+        i = end
     segments.append(
         np.concatenate(out_chunks) if out_chunks else np.empty(0, np.uint8)
     )
 
-    # pad each segment so the reader never runs off the end mid-byte; the
-    # TRUE length is kept so consuming any fabricated pad bit is detected —
-    # otherwise a truncated entropy stream can decode the missing MCUs from
-    # zeros into silently-wrong pixels instead of failing
     true_lens = [len(s) for s in segments]
     readers = [
         _BitReader(np.concatenate([s, np.zeros(8, dtype=np.uint8)])) for s in segments
     ]
 
-    def _check_exhausted(rd: _BitReader, idx: int) -> None:
+    def check_exhausted(rd: _BitReader, idx: int) -> None:
         tl = true_lens[idx]
         if rd.pos > tl or (rd.pos == tl and rd.bit > 0):
             raise ValueError(
                 "jpeg: entropy stream exhausted before all MCUs decoded "
                 "(truncated payload)"
             )
+
+    return readers, check_exhausted, i
+
+
+def _decode_scan(data, pos, frame, scan, qts, huffs, restart_interval):
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    w, h = frame["w"], frame["h"]
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    n_mcu = mcux * mcuy
+
+    # per scan component: coefficient array (blocks_y, blocks_x, 8, 8)
+    for comp, td, ta in scan:
+        bx = mcux * comp["h"]
+        by = mcuy * comp["v"]
+        comp["coef"] = np.zeros((by, bx, 64), dtype=np.int64)
+        comp["pred"] = 0
+        comp["td"], comp["ta"] = td, ta
+
+    readers, _check_exhausted, _ = _entropy_segments(data, pos)
 
     seg_idx = 0
     r = readers[0]
@@ -422,9 +472,180 @@ def _decode_scan(data, pos, frame, scan, qts, huffs, restart_interval):
                         k += 1
     _check_exhausted(r, seg_idx)
 
-    # dequantize + dezigzag + IDCT per component, vectorized over all blocks
+    return _assemble(frame, [comp for comp, _, _ in scan], qts)
+
+
+def _decode_progressive(frame, scans, qts):
+    """Progressive DCT (SOF2, T.81 §G): every scan deposits one spectral/
+    approximation slice of the zigzag coefficients; the IDCT runs once at
+    the end over the accumulated arrays.  DC scans may be interleaved; AC
+    scans cover exactly one component in its own (non-MCU-padded) block
+    raster.  EOB runs and successive-approximation correction bits follow
+    G.1.2; restart markers reset DC predictors and the EOB run."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    w, h = frame["w"], frame["h"]
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for comp in frame["comps"]:
+        comp["coef"] = np.zeros((mcuy * comp["v"], mcux * comp["h"], 64), np.int64)
+        # non-interleaved block raster (ceil of the comp's sampled dims)
+        cw = -(-(w * comp["h"]) // hmax)
+        ch = -(-(h * comp["v"]) // vmax)
+        comp["nbx"], comp["nby"] = -(-cw // 8), -(-ch // 8)
+
+    for scomps, ss, se, ah, al, readers, check, ri in scans:
+        _decode_prog_scan(
+            frame, scomps, ss, se, ah, al, readers, check, ri, mcux, mcuy
+        )
+    return _assemble(frame, frame["comps"], qts)
+
+
+def _decode_prog_scan(frame, scomps, ss, se, ah, al, readers, check, ri, mcux, mcuy):
+    if ss == 0 and se != 0:
+        raise ValueError("jpeg: progressive scan mixes DC and AC (Ss=0, Se>0)")
+    if ss > se or se > 63:
+        raise ValueError(f"jpeg: invalid spectral selection {ss}..{se}")
+    interleaved = len(scomps) > 1
+    if ss > 0 and interleaved:
+        raise ValueError("jpeg: interleaved progressive AC scan is not legal")
+    for comp, dct, act in scomps:
+        if ss == 0 and ah == 0 and dct is None:
+            raise ValueError("jpeg: DC scan references an undefined DC table")
+        if ss > 0 and act is None:
+            raise ValueError("jpeg: AC scan references an undefined AC table")
+        comp["pred"] = 0
+
+    if interleaved:
+        n_units = mcux * mcuy
+    else:
+        comp0 = scomps[0][0]
+        nbx, nby = comp0["nbx"], comp0["nby"]
+        n_units = nbx * nby
+
+    seg_idx = 0
+    r = readers[0]
+    eobrun = 0
+    for m in range(n_units):
+        if ri and m and m % ri == 0:
+            check(r, seg_idx)
+            seg_idx += 1
+            if seg_idx >= len(readers):
+                raise ValueError("jpeg: missing restart marker (truncated scan)")
+            r = readers[seg_idx]
+            eobrun = 0
+            for comp, _, _ in scomps:
+                comp["pred"] = 0
+        if ss == 0:  # DC scan
+            if interleaved:
+                my, mx = divmod(m, mcux)
+                for comp, dct, _ in scomps:
+                    for v in range(comp["v"]):
+                        for hh in range(comp["h"]):
+                            blk = comp["coef"][my * comp["v"] + v, mx * comp["h"] + hh]
+                            _dc_unit(blk, comp, r, dct, ah, al)
+            else:
+                comp, dct, _ = scomps[0]
+                by_, bx_ = divmod(m, nbx)
+                _dc_unit(comp["coef"][by_, bx_], comp, r, dct, ah, al)
+        else:  # AC scan, single component
+            comp, _, act = scomps[0]
+            by_, bx_ = divmod(m, nbx)
+            blk = comp["coef"][by_, bx_]
+            if ah == 0:
+                eobrun = _ac_unit_first(blk, r, act, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_unit_refine(blk, r, act, ss, se, al, eobrun)
+    check(r, seg_idx)
+
+
+def _dc_unit(blk, comp, r, dct, ah, al):
+    if ah == 0:
+        t = _decode_symbol(r, dct)
+        diff = _extend(r.receive(t), t) if t else 0
+        comp["pred"] += diff
+        blk[0] = comp["pred"] << al
+    elif r.read_bit():
+        blk[0] |= 1 << al  # two's-complement OR == append one magnitude bit
+
+
+def _ac_unit_first(blk, r, act, ss, se, al, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_symbol(r, act)
+        rr, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if rr == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << rr) - 1
+            if rr:
+                eobrun += r.receive(rr)
+            return eobrun
+        k += rr
+        if k > se:
+            raise ValueError("jpeg: AC coefficient index past Se")
+        blk[k] = _extend(r.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_unit_refine(blk, r, act, ss, se, al, eobrun):
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(k):
+        cur = int(blk[k])
+        if cur and r.read_bit() and not (cur & p1):
+            blk[k] = cur + (p1 if cur > 0 else m1)
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_symbol(r, act)
+            rr, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if rr < 15:
+                    eobrun = 1 << rr
+                    if rr:
+                        eobrun += r.receive(rr)
+                    break  # EOB: this block's tail is refined below
+                val = 0  # ZRL: pass 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("jpeg: AC refinement magnitude != 1")
+                val = p1 if r.read_bit() else m1
+            # advance over rr zero-history coefficients, emitting correction
+            # bits for every nonzero coefficient passed on the way
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # refine the remaining nonzero history of this block
+            correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _assemble(frame, comps, qts):
+    """Per-component zigzag coefficient arrays → uint8 H×W×3 RGB: dequantize
+    + dezigzag + IDCT (vectorized over all blocks), upsample, color
+    convert.  Shared by the baseline and progressive paths."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    w, h = frame["w"], frame["h"]
     planes = []
-    for comp, _, _ in scan:
+    for comp in comps:
         qt = qts[comp["tq"]]
         by, bx = comp["coef"].shape[:2]
         zz = comp["coef"].reshape(-1, 64) * qt[None, :]

@@ -41,11 +41,14 @@ def test_roundtrip_quality_and_shapes():
         assert jpeg_decode(jpeg_encode(small, 90)).shape == small.shape
 
 
-def test_progressive_and_arithmetic_rejected():
+def test_unsupported_modes_rejected():
     blob = bytearray(jpeg_encode(_synth(np.random.default_rng(0)), 85))
     sof = blob.find(b"\xff\xc0")
-    blob[sof + 1] = 0xC2  # progressive DCT
-    with pytest.raises(NotImplementedError, match="C2"):
+    # flipping a BASELINE stream's SOF to C2 yields an ILLEGAL progressive
+    # scan header (Ss=0 with Se=63) — progressive decode (r6) must reject
+    # it loudly, not decode garbage
+    blob[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="Ss=0"):
         jpeg_decode(bytes(blob))
     blob[sof + 1] = 0xC9  # arithmetic sequential
     with pytest.raises(NotImplementedError, match="C9"):
