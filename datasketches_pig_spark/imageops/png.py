@@ -1,11 +1,11 @@
 """Pure-Python PNG codec (stdlib ``zlib`` + numpy) — no imaging libraries.
 
-Decode: non-interlaced, bit depth 8, color types 0 (gray), 2 (RGB),
-3 (palette), 4 (gray+alpha), 6 (RGBA); always returns uint8 HxWx3 (gray
-replicated, alpha dropped — the feature stage consumes opaque RGB).  CRCs
-are verified on every consumed chunk.  Adam7 interlace and other bit
-depths raise ``NotImplementedError`` naming the feature, the same
-honest-failure contract as the JPEG codec's progressive/arithmetic modes.
+Decode: non-interlaced AND Adam7-interlaced (r6), bit depth 8, color
+types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); always
+returns uint8 HxWx3 (gray replicated, alpha dropped — the feature stage
+consumes opaque RGB).  CRCs are verified on every consumed chunk.  Other
+bit depths raise ``NotImplementedError`` naming the feature, the same
+honest-failure contract as the JPEG codec's arithmetic/lossless modes.
 
 Encode: color type 2, depth 8, per-row adaptive filtering over the full
 filter set (None/Sub/Up/Average/Paeth, minimum-sum-of-absolutes
@@ -25,6 +25,25 @@ import numpy as np
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _adam7_dims(w: int, h: int, p: tuple[int, int, int, int]) -> tuple[int, int]:
+    x0, y0, dx, dy = p
+    pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+    ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+    return pw, ph
 
 
 def _chunks(blob: bytes):
@@ -101,19 +120,42 @@ def png_decode(blob: bytes) -> np.ndarray:
     w, h, depth, color, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("invalid PNG compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("PNG Adam7 interlace not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     if depth != 8:
         raise NotImplementedError(f"PNG bit depth {depth} not supported (only 8)")
     if color not in _CHANNELS:
         raise ValueError(f"invalid PNG color type {color}")
     ch = _CHANNELS[color]
-    stride = w * ch
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if raw.size != h * (stride + 1):
-        raise ValueError("PNG pixel data size mismatch")
-    rec = _defilter(raw, h, stride, ch)
-    px = rec.reshape(h, w, ch)
+    if interlace == 0:
+        stride = w * ch
+        if raw.size != h * (stride + 1):
+            raise ValueError("PNG pixel data size mismatch")
+        rec = _defilter(raw, h, stride, ch)
+        px = rec.reshape(h, w, ch)
+    else:
+        # Adam7 (r6): seven passes, each an independently-filtered
+        # sub-image scattered onto the final raster; passes whose grid is
+        # empty at this image size contribute no scanlines at all
+        expected = sum(
+            ph * (pw * ch + 1)
+            for pw, ph in (_adam7_dims(w, h, p) for p in _ADAM7)
+            if pw and ph  # a pass empty in EITHER dimension writes nothing
+        )
+        if raw.size != expected:
+            raise ValueError("PNG pixel data size mismatch (Adam7 layout)")
+        px = np.zeros((h, w, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw, ph = _adam7_dims(w, h, (x0, y0, dx, dy))
+            if pw == 0 or ph == 0:
+                continue
+            stride_p = pw * ch
+            seg = raw[off : off + ph * (stride_p + 1)]
+            off += ph * (stride_p + 1)
+            rec = _defilter(seg, ph, stride_p, ch)
+            px[y0::dy, x0::dx] = rec.reshape(ph, pw, ch)
     if color == 2:
         return px.copy()
     if color == 6:

@@ -125,8 +125,12 @@ def test_honest_failures():
     with pytest.raises(ValueError, match="CRC"):
         png_decode(bytes(bad))
     raw = b"".join(b"\x00" + img.reshape(16, 48)[y].tobytes() for y in range(16))
-    with pytest.raises(NotImplementedError, match="interlace"):
+    # interlace=1 with NON-interlaced data layout: Adam7 decode (r6) must
+    # reject the wrong-sized pixel stream, not scatter garbage
+    with pytest.raises(ValueError, match="Adam7"):
         png_decode(_build_png(16, 16, 2, raw, interlace=1))
+    with pytest.raises(ValueError, match="interlace"):
+        png_decode(_build_png(16, 16, 2, raw, interlace=2))
     with pytest.raises(NotImplementedError, match="depth"):
         png_decode(_build_png(16, 16, 2, raw, depth=16))
     with pytest.raises(ValueError, match="unknown PNG filter"):
@@ -229,3 +233,44 @@ def test_png_roundtrip_property_random_images():
         dec = png_decode(png_encode(img))
         assert dec.dtype == np.uint8 and dec.shape == img.shape
         assert (dec == img).all(), f"lossless roundtrip broken at {img.shape}"
+
+
+def _java_encode_png_interlaced(spark, img):
+    jvm, gw = _jvm_tools(spark)
+    h, w = img.shape[:2]
+    bimg = jvm.java.awt.image.BufferedImage(w, h, 1)  # TYPE_INT_RGB
+    arr = gw.new_array(jvm.int, w * h)
+    packed = (
+        (img[..., 0].astype(np.int64) << 16)
+        | (img[..., 1].astype(np.int64) << 8)
+        | img[..., 2].astype(np.int64)
+    ).reshape(-1)
+    for i, v in enumerate(packed):
+        arr[i] = int(v)
+    bimg.setRGB(0, 0, w, h, arr, 0, w)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    writer.setOutput(ios)
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    writer.write(None, jvm.javax.imageio.IIOImage(bimg, None, None), param)
+    writer.dispose()
+    ios.close()
+    return bytes(baos.toByteArray())
+
+
+def test_adam7_interlaced_exact_vs_jdk(spark):
+    """Adam7 decode (r6): the JDK PNG writer's progressive mode emits
+    interlace method 1; PNG is lossless, so our decode must equal the
+    source image EXACTLY.  Sizes cover empty passes (1x1, 3x3: several of
+    the seven passes have no pixels), odd dims, and dims straddling the
+    8x8 pass tile."""
+    rng = np.random.default_rng(99)
+    for h, w in ((16, 16), (13, 7), (1, 1), (3, 3), (9, 33), (2, 2), (8, 1)):
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        blob = _java_encode_png_interlaced(spark, img)
+        # the writer really interlaced it (IHDR byte 12, after 8-byte sig +
+        # 8-byte chunk header)
+        assert blob[8 + 8 + 12] == 1
+        assert np.array_equal(png_decode(blob), img), (h, w)
