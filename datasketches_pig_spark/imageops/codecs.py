@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 
-STUB_FORMATS = ("webp", "gif", "tiff")
+STUB_FORMATS = ("webp", "tiff")
 
 
 def rgb8_encode(img: np.ndarray) -> bytes:
@@ -102,6 +102,10 @@ def decode_image(
         from datasketches_pig_spark.imageops.png import png_decode
 
         return png_decode(blob)
+    if fmt == "gif":
+        from datasketches_pig_spark.imageops.gif import gif_decode
+
+        return gif_decode(blob)
     from datasketches_pig_spark import decoders as _reg
 
     table = decoders if decoders is not None else _reg.image_decoder_snapshot()
