@@ -103,3 +103,44 @@ def test_gif_lzw_edge_cases():
         # min=2: clear=4, eoi=5; width 3. Emit clear(100b=4) then code 7
         # (111b) with an empty dictionary beyond the roots.
         _lzw_decode(bytes([0b00111100]), 2, 4)
+
+
+def test_cross_format_near_dup_coclusters(spark):
+    """Heterogeneous-crawl scenario: the SAME margin-robust source image
+    stored as baseline JPEG (our encoder), PNG (lossless) and GIF
+    (JDK-written, palette-exact) must land in one near-dup cluster through
+    the REAL operator (fused decode → dHash → Manku banding → verify),
+    while different source images stay apart.  This is the property the
+    r6 format work exists for — format-invariant perceptual identity."""
+    import pandas as pd
+
+    from datasketches_pig_spark.data.images import synth_image
+    from datasketches_pig_spark.imageops.features import image_near_pairs
+    from datasketches_pig_spark.imageops.jpeg import jpeg_encode
+    from datasketches_pig_spark.imageops.png import png_encode
+
+    rows = []
+    n_src = 6
+    for src in range(n_src):
+        img = synth_image(src * 5)  # % 5 != 4: all sources distinct
+        h, w = img.shape[:2]
+        variants = [
+            ("jpeg", jpeg_encode(img, 90)),
+            ("png", png_encode(img)),
+            ("gif", _jdk_encode_gif(spark, img, interlaced=bool(src % 2))),
+        ]
+        for j, (fmt, blob) in enumerate(variants):
+            rows.append((src * 10 + j, blob, fmt, w, h))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "bytes", "fmt", "width", "height"])
+    ).repartition(4)
+    pairs = image_near_pairs(df, max_hamming=4).collect()
+    got = {(min(r["a"], r["b"]), max(r["a"], r["b"])) for r in pairs}
+    for src in range(n_src):
+        ids = [src * 10 + j for j in range(3)]
+        for i in range(3):
+            for j in range(i + 1, 3):
+                assert (ids[i], ids[j]) in got, f"missing {ids[i]}-{ids[j]}"
+    # no cross-source pair
+    for a, b in got:
+        assert a // 10 == b // 10, f"false positive pair {a}-{b}"
