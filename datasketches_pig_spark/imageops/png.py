@@ -1,6 +1,7 @@
 """Pure-Python PNG codec (stdlib ``zlib`` + numpy) — no imaging libraries.
 
-Decode: non-interlaced AND Adam7-interlaced (r6), bit depth 8, color
+Decode: non-interlaced AND Adam7-interlaced (r6), bit depth 8 or 16
+(high-byte downconversion, r6), color
 types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); always
 returns uint8 HxWx3 (gray replicated, alpha dropped — the feature stage
 consumes opaque RGB).  CRCs are verified on every consumed chunk.  Other
@@ -122,24 +123,29 @@ def png_decode(blob: bytes) -> np.ndarray:
         raise ValueError("invalid PNG compression/filter method")
     if interlace not in (0, 1):
         raise ValueError(f"invalid PNG interlace method {interlace}")
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} not supported (only 8)")
+    if depth not in (8, 16):
+        raise NotImplementedError(
+            f"PNG bit depth {depth} not supported (only 8 and 16)"
+        )
     if color not in _CHANNELS:
         raise ValueError(f"invalid PNG color type {color}")
+    if depth == 16 and color == 3:
+        raise ValueError("PNG palette images cannot be 16-bit")
     ch = _CHANNELS[color]
+    sw = depth // 8  # sample width in bytes; filters operate on raw BYTES
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     if interlace == 0:
-        stride = w * ch
+        stride = w * ch * sw
         if raw.size != h * (stride + 1):
             raise ValueError("PNG pixel data size mismatch")
-        rec = _defilter(raw, h, stride, ch)
-        px = rec.reshape(h, w, ch)
+        rec = _defilter(raw, h, stride, ch * sw)
+        px = rec.reshape(h, w, ch, sw)[..., 0]  # big-endian high byte
     else:
         # Adam7 (r6): seven passes, each an independently-filtered
         # sub-image scattered onto the final raster; passes whose grid is
         # empty at this image size contribute no scanlines at all
         expected = sum(
-            ph * (pw * ch + 1)
+            ph * (pw * ch * sw + 1)
             for pw, ph in (_adam7_dims(w, h, p) for p in _ADAM7)
             if pw and ph  # a pass empty in EITHER dimension writes nothing
         )
@@ -151,11 +157,11 @@ def png_decode(blob: bytes) -> np.ndarray:
             pw, ph = _adam7_dims(w, h, (x0, y0, dx, dy))
             if pw == 0 or ph == 0:
                 continue
-            stride_p = pw * ch
+            stride_p = pw * ch * sw
             seg = raw[off : off + ph * (stride_p + 1)]
             off += ph * (stride_p + 1)
-            rec = _defilter(seg, ph, stride_p, ch)
-            px[y0::dy, x0::dx] = rec.reshape(ph, pw, ch)
+            rec = _defilter(seg, ph, stride_p, ch * sw)
+            px[y0::dy, x0::dx] = rec.reshape(ph, pw, ch, sw)[..., 0]
     if color == 2:
         return px.copy()
     if color == 6:

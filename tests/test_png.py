@@ -132,6 +132,9 @@ def test_honest_failures():
     with pytest.raises(ValueError, match="interlace"):
         png_decode(_build_png(16, 16, 2, raw, interlace=2))
     with pytest.raises(NotImplementedError, match="depth"):
+        png_decode(_build_png(16, 16, 2, raw, depth=4))
+    # depth 16 is implemented (r6) - but the 8-bit data layout can't pass
+    with pytest.raises(ValueError, match="mismatch"):
         png_decode(_build_png(16, 16, 2, raw, depth=16))
     with pytest.raises(ValueError, match="unknown PNG filter"):
         png_decode(_build_png(16, 16, 2, b"\x07" + raw[1:]))
@@ -274,3 +277,34 @@ def test_adam7_interlaced_exact_vs_jdk(spark):
         # 8-byte chunk header)
         assert blob[8 + 8 + 12] == 1
         assert np.array_equal(png_decode(blob), img), (h, w)
+
+
+def test_png_16bit_gray_high_byte(spark):
+    """16-bit PNG (r6): filters run on raw bytes at bpp = 2*channels; the
+    8-bit output takes each big-endian sample's high byte — exactly what
+    the JDK's 8-bit conversion of its own TYPE_USHORT_GRAY stream yields.
+    Covers plain and Adam7 layouts."""
+    jvm, gw = _jvm_tools(spark)
+    rng = np.random.default_rng(1)
+    for (h, w), inter in (((20, 27), False), ((20, 27), True), ((5, 3), True)):
+        img16 = rng.integers(0, 65536, (h, w), dtype=np.uint16)
+        bimg = jvm.java.awt.image.BufferedImage(w, h, 11)  # TYPE_USHORT_GRAY
+        ras = bimg.getRaster()
+        for y in range(h):
+            for x in range(w):
+                ras.setSample(x, y, 0, int(img16[y, x]))
+        baos = jvm.java.io.ByteArrayOutputStream()
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+        writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+        writer.setOutput(ios)
+        param = writer.getDefaultWriteParam()
+        if inter:
+            param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        writer.write(None, jvm.javax.imageio.IIOImage(bimg, None, None), param)
+        writer.dispose()
+        ios.close()
+        blob = bytes(baos.toByteArray())
+        assert blob[8 + 8 + 8] == 16  # IHDR bit depth
+        out = png_decode(blob)
+        assert np.array_equal(out[:, :, 0], (img16 >> 8).astype(np.uint8))
+        assert np.array_equal(out[:, :, 0], out[:, :, 1])
