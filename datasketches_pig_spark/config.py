@@ -57,6 +57,15 @@ class DedupConfig:
                                      # bound construction. 0 disables the
                                      # gate (tier follows verify_prefix
                                      # unconditionally)
+    max_verify_chars: int = 65536    # containment-verify payload cap
+                                     # (normalized chars): pairs whose
+                                     # longer transcript exceeds this skip
+                                     # the exact suffix-array LCS for the
+                                     # bounded chunk-probe containment
+                                     # check — the last per-pair cost in
+                                     # the verify stage is then O(cap log²
+                                     # cap), so an hour-long-episode
+                                     # corpus can't stall verify tasks
     snr_db: float = 30.0             # decoded-PCM invariant bar
     max_bucket_size: int = 64        # LSH bucket cap before salting/split
     verify_max_shingles: int = 8192  # cap on shingle-set size shipped to verify
@@ -88,6 +97,12 @@ class DedupConfig:
             )
         if self.verify_prefix_min_pairs < 0:
             raise ValueError("verify_prefix_min_pairs must be >= 0")
+        if self.max_verify_chars < 4096:
+            # below ~4k the chunk-probe relaxation's slack term
+            # (2·chunk/len) stops being small against min_frac
+            raise ValueError(
+                f"max_verify_chars must be >= 4096, got {self.max_verify_chars}"
+            )
 
     def config_hash(self) -> str:
         """Deterministic hash of the full config — stamped into lineage rows."""

@@ -53,10 +53,20 @@ VERIFIED_SCHEMA = (
 # suffix-array longest-common-substring (transcript containment verifier)
 # ---------------------------------------------------------------------------
 
-def _suffix_array(s: bytes) -> np.ndarray:
-    """O(n log² n) suffix array via repeated radix ranking (numpy argsort)."""
+def _suffix_array(s: bytes) -> tuple[np.ndarray, list[np.ndarray]]:
+    """O(n log² n) suffix array via repeated radix ranking (numpy argsort).
+
+    Returns ``(sa, levels)`` where ``levels[l]`` is the rank of every suffix
+    by its first ``2^l`` characters — the sparse table that lets the LCP
+    computation below stay fully vectorized.  (Short suffixes are padded
+    with −1 in the doubling keys, so two suffixes share a level-``l`` rank
+    iff BOTH have ≥ ``2^l`` characters and those characters match — distinct
+    suffixes of one string always differ in length, so a truncated key can
+    never alias a full one.)
+    """
     n = len(s)
     rank = np.frombuffer(s, dtype=np.uint8).astype(np.int64)
+    levels = [rank]
     sa = np.argsort(rank, kind="stable")
     tmp = np.empty(n, dtype=np.int64)
     k = 1
@@ -68,57 +78,100 @@ def _suffix_array(s: bytes) -> np.ndarray:
         cur_r, cur_k2 = rank[order[1:]], key2[order[1:]]
         tmp[order[1:]] = np.cumsum((cur_r != prev_r) | (cur_k2 != prev_k2))
         rank = tmp.copy()
+        levels.append(rank)
         sa = order
         if rank[sa[-1]] == n - 1:
             break
         k *= 2
-    return sa
+    return sa, levels
 
 
-def _lcp_kasai(s: bytes, sa: np.ndarray) -> np.ndarray:
-    n = len(s)
-    rank = np.empty(n, dtype=np.int64)
-    rank[sa] = np.arange(n)
-    lcp = np.zeros(n, dtype=np.int64)
-    h = 0
-    for i in range(n):
-        r = rank[i]
-        if r > 0:
-            j = sa[r - 1]
-            while i + h < n and j + h < n and s[i + h] == s[j + h]:
-                h += 1
-            lcp[r] = h
-            if h:
-                h -= 1
-        else:
-            h = 0
-    return lcp
+def _lcp_adjacent(sa: np.ndarray, levels: list[np.ndarray]) -> np.ndarray:
+    """LCP of each adjacent suffix pair in SA order — the classic
+    sparse-table walk (match 2^l chars at a time from the highest doubling
+    level down), vectorized across ALL pairs at once.  Replaces the r1
+    per-character Python Kasai loop, which made each long-transcript
+    borderline pair a multi-second task stall (SURVEY §7 hard-part (d))."""
+    n = len(sa)
+    if n < 2:
+        return np.zeros(0, dtype=np.int64)
+    i = sa[1:].copy()
+    j = sa[:-1].copy()
+    h = np.zeros(n - 1, dtype=np.int64)
+    for lvl in range(len(levels) - 1, -1, -1):
+        step = np.int64(1 << lvl)
+        r = levels[lvl]
+        ok = (i < n) & (j < n)
+        eq = ok & (r[np.minimum(i, n - 1)] == r[np.minimum(j, n - 1)])
+        adv = np.where(eq, step, np.int64(0))
+        i = i + adv
+        j = j + adv
+        h += adv
+    return h
 
 
 def longest_common_substring(x: str, y: str) -> int:
-    """Length of the longest common substring, via suffix array + Kasai LCP
-    over x + sep + y (adjacent suffixes from different halves)."""
+    """Length of the longest common substring, via suffix array + vectorized
+    sparse-table LCP over x + sep + y (adjacent suffixes from different
+    halves)."""
     if not x or not y:
         return 0
     bx = x.encode("utf-8")
     by = y.encode("utf-8")
     s = bx + b"\x00" + by
-    sa = _suffix_array(s)
-    lcp = _lcp_kasai(s, sa)
+    sa, levels = _suffix_array(s)
+    lcp = _lcp_adjacent(sa, levels)
     split = len(bx)
     from_x = sa < split
     cross = from_x[1:] != from_x[:-1]
     if not cross.any():
         return 0
-    return int(lcp[1:][cross].max())
+    return int(lcp[cross].max())
 
 
-def substring_containment(x: str, y: str, min_frac: float = 0.8) -> bool:
+def _chunked_containment(
+    s: str, longer: str, min_frac: float, chunk: int = 512, max_probes: int = 128
+) -> bool:
+    """Bounded containment for over-cap transcripts: probe evenly spaced
+    width-``chunk`` slices of the shorter string for verbatim occurrence in
+    the longer (C-speed ``str`` search, ≤ ``max_probes`` probes).
+
+    Recall-safe relaxation: if a contiguous common substring covers
+    ``min_frac`` of the shorter, every probe that lands fully inside it
+    hits, so the hit fraction is at least ``min_frac − 2·chunk/len(s) −
+    2/n_probes`` — that is the accept threshold, which therefore never
+    rejects a pair the exact LCS rule accepts.  Precision gives up at most
+    the slack (a few percent at cap scale), on pairs that already carry a
+    near-exact audio match."""
+    ls = len(s)
+    if ls <= chunk:
+        return s in longer
+    n = min(max_probes, ls // chunk)
+    if n < 2:
+        return s[: chunk] in longer
+    starts = np.linspace(0, ls - chunk, n).astype(np.int64)
+    hits = sum(1 for st in starts if s[st : st + chunk] in longer)
+    thresh = min_frac - 2.0 * chunk / ls - 2.0 / n
+    return hits / n >= thresh
+
+
+def substring_containment(
+    x: str, y: str, min_frac: float = 0.8, max_chars: int | None = None
+) -> bool:
     """True if the shorter normalized transcript is (mostly) contained in the
-    longer one: LCS ≥ min_frac × len(shorter)."""
+    longer one: LCS ≥ min_frac × len(shorter).
+
+    ``max_chars`` (``DedupConfig.max_verify_chars``) caps the exact
+    suffix-array path: when the longer normalized transcript exceeds it,
+    the decision comes from the bounded chunk-probe check instead — per-pair
+    cost is then O(probes · |longer|) C-level scanning rather than an
+    unbounded O((|x|+|y|) log²) sort per pair."""
     nx, ny = normalize_text(x or ""), normalize_text(y or "")
     if not nx or not ny:
         return False
+    s, longer = (nx, ny) if len(nx) <= len(ny) else (ny, nx)
+    if max_chars is not None and len(longer) > max_chars:
+        return _chunked_containment(s, longer, min_frac)
     shorter = min(len(nx.encode()), len(ny.encode()))
     if shorter == 0:
         return False
@@ -284,6 +337,7 @@ def _finish_scored(
     near: float,
     weak: float,
     text_thr: float,
+    max_verify_chars: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Exact-scored pairs → (plain_scored, border_scored) with the
     suffix-array substring check applied to the borderline band."""
@@ -320,7 +374,7 @@ def _finish_scored(
                 continue
             ok = np.fromiter(
                 (
-                    substring_containment(x, y)
+                    substring_containment(x, y, max_chars=max_verify_chars)
                     if x is not None and y is not None
                     else False
                     for x, y in zip(pdf["a_transcript"], pdf["b_transcript"])
@@ -547,7 +601,8 @@ def verify_pairs(
             kmv_k,
         )
         plain_scored, border_scored = _finish_scored(
-            scored, signatures, transcripts, near, weak, text_thr
+            scored, signatures, transcripts, near, weak, text_thr,
+            max_verify_chars=cfg.max_verify_chars,
         )
         return _decide(passthrough, plain_scored, border_scored, near, weak, text_thr)
 
@@ -684,7 +739,8 @@ def verify_pairs(
     ).select("a", "b", "text_hamming", "audio_hamming")
     scored = _score_full(borderline, signatures, kmv_k)
     plain_scored, border_scored = _finish_scored(
-        scored, signatures, transcripts, near, weak, text_thr
+        scored, signatures, transcripts, near, weak, text_thr,
+        max_verify_chars=cfg.max_verify_chars,
     )
     decided = _decide(
         passthrough, plain_scored, border_scored, near, weak, text_thr

@@ -73,4 +73,10 @@ def verify_against_store(
     """
     from datasketches_pig_spark.operators.verify import verify_pairs
 
+    # verify_pairs' size gate counts `pairs` eagerly; the pipeline callers
+    # pass a checkpointed frame, but this entry point takes an arbitrary
+    # candidate chain — materialize it here so the gate's count doesn't
+    # execute the whole chain a second time
+    if cfg.verify_prefix is not None and cfg.verify_prefix_min_pairs:
+        pairs = pairs.localCheckpoint(eager=True)
     return verify_pairs(pairs, stored_signatures, cfg, transcripts=transcripts)
