@@ -172,7 +172,11 @@ def g711_ulaw_decode(blob: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def decode_clip(
-    blob: bytes, codec: str, sr_hz: int, decoders: dict | None = None
+    blob: bytes,
+    codec: str,
+    sr_hz: int,
+    decoders: dict | None = None,
+    dur_ms: int | None = None,
 ) -> np.ndarray:
     """Decode one clip payload to float32 PCM at its native rate.
 
@@ -184,6 +188,11 @@ def decode_clip(
     the built-in codecs don't cover — Spark kernels pass the registry
     snapshot captured at plan-build time so registered decoders reach
     executors; ``None`` falls back to the live process-local registry.
+    ``dur_ms`` (when the source row carries it) arms the registry
+    contract's sample-rate honesty check: a registered decoder that
+    resamples or ignores ``sr_hz`` fails loudly instead of silently
+    shifting every audio shingle.  Built-in codecs are oracle-gated and
+    skip it (their WAV-container paths already cross-check ``sr_hz``).
     """
     if codec == "pcm_s16le":
         pcm, wav_sr = wav_decode_pcm16(blob)
@@ -208,7 +217,19 @@ def decode_clip(
     table = decoders if decoders is not None else _reg.audio_decoder_snapshot()
     fn = table.get(codec)
     if fn is not None:
-        return _reg.validate_pcm(fn(blob, sr_hz), codec)
+        return _reg.validate_pcm(fn(blob, sr_hz), codec, sr_hz=sr_hz, dur_ms=dur_ms)
+    return _stub_raise(codec)
+
+
+def dur_ms_batch(pdf) -> list:
+    """Per-row ``dur_ms`` for an Arrow kernel batch — ``None``s when the
+    frame lacks the column (the registry's rate check is then waived)."""
+    if "dur_ms" in pdf.columns:
+        return [None if v is None or v != v else int(v) for v in pdf["dur_ms"]]
+    return [None] * len(pdf)
+
+
+def _stub_raise(codec: str):
     if codec in ("mp3", "opus", "aac", "flac", "vorbis"):
         # Real decoders need external audio libraries not present in this
         # container; the surrounding Spark plumbing (schema, dispatch,

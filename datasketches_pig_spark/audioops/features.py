@@ -15,7 +15,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from datasketches_pig_spark.audioops.codecs import decode_clip
+from datasketches_pig_spark.audioops.codecs import decode_clip, dur_ms_batch
 from datasketches_pig_spark.decoders import audio_decoder_snapshot
 
 FRAME_SAMPLE_SCHEMA = (
@@ -36,10 +36,11 @@ def frame_sample(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("clip_id", "frame_idx", "t_ms", "frame", "sr_hz")}
-            for cid, blob, codec, sr in zip(
-                pdf["clip_id"], pdf["bytes"], pdf["codec"], pdf["sr_hz"]
+            for cid, blob, codec, sr, dm in zip(
+                pdf["clip_id"], pdf["bytes"], pdf["codec"], pdf["sr_hz"],
+                dur_ms_batch(pdf),
             ):
-                pcm = decode_clip(blob, codec, int(sr), decoders=ext)
+                pcm = decode_clip(blob, codec, int(sr), decoders=ext, dur_ms=dm)
                 flen = max(int(sr * frame_ms / 1000), 1)
                 if len(pcm) <= flen:
                     starts = [0]
@@ -73,12 +74,13 @@ def extract_features(clips: DataFrame) -> DataFrame:
                 "clip_id", "rms", "zcr_hz", "spectral_centroid_hz",
                 "spectral_rolloff_hz", "dominant_freq_hz", "n_samples",
             )}
-            for cid, blob, codec, sr in zip(
-                pdf["clip_id"], pdf["bytes"], pdf["codec"], pdf["sr_hz"]
+            for cid, blob, codec, sr, dm in zip(
+                pdf["clip_id"], pdf["bytes"], pdf["codec"], pdf["sr_hz"],
+                dur_ms_batch(pdf),
             ):
-                pcm = decode_clip(blob, codec, int(sr), decoders=ext).astype(
-                    np.float64
-                )
+                pcm = decode_clip(
+                    blob, codec, int(sr), decoders=ext, dur_ms=dm
+                ).astype(np.float64)
                 n = len(pcm)
                 rms = float(np.sqrt((pcm**2).mean())) if n else 0.0
                 signs = pcm >= 0
@@ -110,8 +112,10 @@ def resample_stage(clips: DataFrame, target_sr: int = 16000) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pcms, ns = [], []
-            for blob, codec, sr in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"]):
-                pcm = decode_clip(blob, codec, int(sr), decoders=ext)
+            for blob, codec, sr, dm in zip(
+                pdf["bytes"], pdf["codec"], pdf["sr_hz"], dur_ms_batch(pdf)
+            ):
+                pcm = decode_clip(blob, codec, int(sr), decoders=ext, dur_ms=dm)
                 if int(sr) != target_sr and len(pcm) > 1:
                     n_out = int(round(len(pcm) * target_sr / int(sr)))
                     x_old = np.linspace(0.0, 1.0, len(pcm))

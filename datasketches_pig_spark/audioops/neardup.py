@@ -69,7 +69,7 @@ def audio_signature_frame(
     ≤ ``32·8 + kmv_k·8`` bytes per clip.  ``kmv`` is the bottom-k of the
     clip's shingle-hash set, so it IS the full set whenever the clip has
     ≤ ``cfg.kmv_k`` distinct grams (the exact-below-k contract)."""
-    from datasketches_pig_spark.audioops.codecs import decode_clip
+    from datasketches_pig_spark.audioops.codecs import decode_clip, dur_ms_batch
     from datasketches_pig_spark.operators.shingle import audio_shingle_hashes
     from datasketches_pig_spark.operators.signatures import (
         band_hashes,
@@ -90,8 +90,10 @@ def audio_signature_frame(
             if not len(pdf):
                 continue
             pcms = [
-                decode_clip(b, c, int(s), decoders=ext)
-                for b, c, s in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"])
+                decode_clip(b, c, int(s), decoders=ext, dur_ms=d)
+                for b, c, s, d in zip(
+                    pdf["bytes"], pdf["codec"], pdf["sr_hz"], dur_ms_batch(pdf)
+                )
             ]
             sets = audio_shingle_hashes(pcms, list(pdf["sr_hz"]), cfg)
             counts = np.array([len(s) for s in sets], dtype=np.int64)

@@ -123,7 +123,23 @@ def video_decoder_snapshot() -> dict[str, Callable]:
 # return-value validation (shared by the three dispatch sites)
 # ---------------------------------------------------------------------------
 
-def validate_pcm(out, codec: str) -> np.ndarray:
+def validate_pcm(
+    out,
+    codec: str,
+    sr_hz: int | None = None,
+    dur_ms: int | None = None,
+) -> np.ndarray:
+    """Shape/range/rate validation of a registered audio decoder's return.
+
+    ``sr_hz``/``dur_ms`` (when both are present and positive) enable the
+    sample-rate honesty check: the decoded length must sit inside a sanity
+    band around ``dur_ms · sr_hz / 1000``.  A decoder that resamples — or
+    ignores the ``sr_hz`` column outright — returns a length off by the
+    rate ratio (≥ 1.37× for any two distinct standard rates, e.g.
+    44100/32000), far outside the band; codec block padding and rounding
+    sit well inside it.  Without metadata the check is waived (documented:
+    a corpus without ``dur_ms`` gets shape/range validation only).
+    """
     pcm = np.asarray(out)
     if pcm.ndim != 1:
         raise ValueError(
@@ -132,11 +148,34 @@ def validate_pcm(out, codec: str) -> np.ndarray:
         )
     if pcm.dtype != np.float32:
         pcm = pcm.astype(np.float32)
-    if len(pcm) and (np.abs(pcm).max() > 1.0 + 1e-3):
-        raise ValueError(
-            f"registered decoder for audio codec '{codec}' returned samples "
-            "outside [-1, 1]; contract is normalized float PCM"
-        )
+    if len(pcm):
+        # isfinite first: NaN compares False against any bound, so the
+        # amplitude check alone would pass a NaN-poisoned return
+        if not np.isfinite(pcm).all():
+            raise ValueError(
+                f"registered decoder for audio codec '{codec}' returned "
+                "non-finite samples (NaN/Inf); contract is normalized "
+                "float PCM"
+            )
+        if np.abs(pcm).max() > 1.0 + 1e-3:
+            raise ValueError(
+                f"registered decoder for audio codec '{codec}' returned "
+                "samples outside [-1, 1]; contract is normalized float PCM"
+            )
+    if sr_hz and dur_ms and sr_hz > 0 and dur_ms > 0:
+        expected = dur_ms * sr_hz / 1000.0
+        # ±20% relative covers frame/block rounding of every real codec;
+        # the 60 ms absolute floor keeps sub-0.3 s clips from tripping on
+        # a single padded block
+        slack = max(0.2 * expected, 0.06 * sr_hz)
+        if abs(len(pcm) - expected) > slack:
+            raise ValueError(
+                f"registered decoder for audio codec '{codec}' returned "
+                f"{len(pcm)} samples but metadata says ~{expected:.0f} "
+                f"(dur_ms={dur_ms}, sr_hz={sr_hz}); the decoder is likely "
+                "resampling or ignoring sr_hz — it must return PCM at the "
+                "row's native rate"
+            )
     return pcm
 
 

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 
 import hashlib
 
-from datasketches_pig_spark.audioops.codecs import decode_clip
+from datasketches_pig_spark.audioops.codecs import decode_clip, dur_ms_batch
 from datasketches_pig_spark.config import DedupConfig
 from datasketches_pig_spark.decoders import audio_decoder_snapshot
 from datasketches_pig_spark.operators.shingle import (
@@ -58,8 +58,10 @@ def decode_stage(clips: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pcms = [
-                decode_clip(b, c, int(s), decoders=ext).astype("<f4").tobytes()
-                for b, c, s in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"])
+                decode_clip(b, c, int(s), decoders=ext, dur_ms=d).astype("<f4").tobytes()
+                for b, c, s, d in zip(
+                    pdf["bytes"], pdf["codec"], pdf["sr_hz"], dur_ms_batch(pdf)
+                )
             ]
             yield pd.DataFrame(
                 {
@@ -115,8 +117,10 @@ def signature_stage(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
 
             # --- decode + audio shingles ---
             pcms = [
-                decode_clip(b, c, int(s), decoders=ext)
-                for b, c, s in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"])
+                decode_clip(b, c, int(s), decoders=ext, dur_ms=d)
+                for b, c, s, d in zip(
+                    pdf["bytes"], pdf["codec"], pdf["sr_hz"], dur_ms_batch(pdf)
+                )
             ]
             a_sets = audio_shingle_hashes(pcms, list(pdf["sr_hz"]), cfg)
             t_sets = text_shingle_hashes(list(pdf["transcript"]), cfg)

@@ -70,6 +70,22 @@ def _bad_shape_decoder(blob: bytes, sr_hz: int) -> np.ndarray:
     return np.zeros((4, 2), dtype=np.float32)
 
 
+def _nan_decoder(blob: bytes, sr_hz: int) -> np.ndarray:
+    # all-NaN passes a bare amplitude check (NaN compares False) — the
+    # contract must reject it explicitly or features silently poison
+    return np.full(100, np.nan, dtype=np.float32)
+
+
+def _resampling_decoder(blob: bytes, sr_hz: int) -> np.ndarray:
+    """A decoder that resamples to 16 kHz regardless of the row's native
+    rate — the silent-shingle-shift failure mode VERDICT r6 item 2 names."""
+    pcm = fake_mp3_decode(blob, sr_hz)
+    n_out = int(round(len(pcm) * 16000 / sr_hz))
+    return np.interp(
+        np.linspace(0.0, 1.0, n_out), np.linspace(0.0, 1.0, len(pcm)), pcm
+    ).astype(np.float32)
+
+
 @pytest.fixture
 def mp3_registered():
     reg.register_audio_decoder("mp3", fake_mp3_decode)
@@ -117,6 +133,74 @@ def test_registered_return_is_validated():
             decode_clip(b"anything", "mp3", 8000)
     finally:
         reg.unregister_audio_decoder("mp3")
+
+
+def test_nan_return_is_refused():
+    reg.register_audio_decoder("mp3", _nan_decoder)
+    try:
+        with pytest.raises(ValueError, match="non-finite"):
+            decode_clip(b"anything", "mp3", 8000)
+    finally:
+        reg.unregister_audio_decoder("mp3")
+
+
+def test_wrong_rate_decoder_fails_loudly_when_dur_ms_present():
+    """Sample-rate honesty (VERDICT r6 item 2): with dur_ms metadata armed,
+    a decoder that resamples (here to 16 kHz from a 44.1 kHz row) returns a
+    length off by the rate ratio and must raise; the same decoder at an
+    honest rate — and an honest decoder with block-padding-scale rounding —
+    must pass."""
+    rng = np.random.default_rng(3)
+    sr = 44100
+    pcm = (rng.standard_normal(sr // 2) * 0.2).astype(np.float32)  # 500 ms
+    blob = fake_mp3_encode(pcm)
+    reg.register_audio_decoder("mp3", _resampling_decoder)
+    try:
+        with pytest.raises(ValueError, match="resampling or ignoring sr_hz"):
+            decode_clip(blob, "mp3", sr, dur_ms=500)
+        # without dur_ms the check is waived (documented contract)
+        out = decode_clip(blob, "mp3", sr)
+        assert len(out) == int(round(len(pcm) * 16000 / sr))
+    finally:
+        reg.unregister_audio_decoder("mp3")
+    reg.register_audio_decoder("mp3", fake_mp3_decode)
+    try:
+        out = decode_clip(blob, "mp3", sr, dur_ms=500)
+        assert len(out) == len(pcm)
+        # ±20%/60 ms slack: codec frame padding must not trip the check
+        reg.register_audio_decoder(
+            "padded", lambda b, s: np.zeros(int(0.5 * s) + 1024, np.float32)
+        )
+        assert len(decode_clip(b"x", "padded", sr, dur_ms=500)) > 0
+    finally:
+        reg.unregister_audio_decoder("mp3")
+        reg.unregister_audio_decoder("padded")
+
+
+def test_wrong_rate_decoder_caught_through_arrow_kernel(spark, mp3_registered):
+    """The dur_ms column rides the clips schema into the fused feature
+    kernel; a wrong-rate registered decoder must fail the Spark job, not
+    silently shift shingles."""
+    from datasketches_pig_spark.audioops.features import extract_features
+
+    rng = np.random.default_rng(5)
+    sr = 32000
+    pcm = (rng.standard_normal(sr) * 0.1).astype(np.float32)  # 1000 ms
+    rows = [("c0", bytearray(fake_mp3_encode(pcm)), sr, 1000, "mp3", "t")]
+    schema = (
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string"
+    )
+    clips = spark.createDataFrame(rows, schema)
+    # honest decoder: flows through, one feature row
+    assert extract_features(clips).count() == 1
+    reg.register_audio_decoder("mp3", _resampling_decoder)
+    try:
+        with pytest.raises(Exception, match="resampling or ignoring sr_hz"):
+            extract_features(clips).count()
+    finally:
+        reg.unregister_audio_decoder("mp3")
+        reg.register_audio_decoder("mp3", fake_mp3_decode)
 
 
 def test_explicit_table_beats_process_registry():
