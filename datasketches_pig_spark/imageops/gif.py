@@ -28,7 +28,10 @@ import numpy as np
 
 def _lzw_decode(data: bytes, min_code: int, expected: int) -> np.ndarray:
     """GIF-variant LZW → ``expected`` palette indices (uint8)."""
-    if not 2 <= min_code <= 11:
+    # ≤ 8: GIF palettes hold at most 256 entries, and the base-dictionary
+    # build below (bytes([i]) for i < 2^min_code) requires it anyway — a
+    # larger advertised code size is a corrupt stream, not a bigger palette
+    if not 2 <= min_code <= 8:
         raise ValueError(f"gif: invalid LZW minimum code size {min_code}")
     clear = 1 << min_code
     eoi = clear + 1

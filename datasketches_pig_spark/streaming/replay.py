@@ -49,6 +49,23 @@ def replay_events(
     returns the final (event_type, n_events, sum_value, distinct_users)."""
     tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
     base = tempfile.mkdtemp(prefix="dsps_replay_", dir=tmp_root)
+    try:
+        return _replay_events(spark, events, n_slices, k, seed, base)
+    finally:
+        # /dev/shm doubles as spark.local.dir — leaking slices + stream +
+        # checkpoint there (and the memory-sink table in driver memory, in
+        # _replay_events) would accumulate across every gate/bench run
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _replay_events(
+    spark: SparkSession,
+    events: DataFrame,
+    n_slices: int,
+    k: int,
+    seed: int,
+    base: str,
+) -> DataFrame:
     stream_dir = os.path.join(base, "stream")
     os.makedirs(stream_dir)
     # ONE scan + one shuffle for all slices (was: n_slices filtered scans):
@@ -102,7 +119,7 @@ def replay_events(
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     emitted = spark.table(qname)
     # last emission per key = struct-max on the strictly-increasing n_events
-    return (
+    final = (
         emitted.groupBy("event_type")
         .agg(
             F.max(F.struct("n_events", "sum_value", "distinct_users")).alias("m")
@@ -114,3 +131,9 @@ def replay_events(
             F.col("m.distinct_users").alias("distinct_users"),
         )
     )
+    # the memory sink pins every emission in driver memory under qname; the
+    # final state is a handful of per-type rows, so materialize it (bounded,
+    # justified collect) and release the sink before returning
+    rows = final.collect()
+    spark.catalog.dropTempView(qname)
+    return spark.createDataFrame(rows, final.schema)

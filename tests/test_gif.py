@@ -98,6 +98,13 @@ def test_gif_lzw_edge_cases():
         gif_decode(b"NOTAGIF" + b"\x00" * 20)
     with pytest.raises(ValueError, match="minimum code size"):
         _lzw_decode(b"\x00", 1, 4)
+    # 9..11 used to fall through to the base-dictionary build and die with a
+    # generic "bytes must be in range(0, 256)" — GIF palettes cap at 256
+    # entries, so an oversized code size is corrupt and must raise the
+    # codec's own named error
+    for bad in (9, 10, 11, 12):
+        with pytest.raises(ValueError, match="minimum code size"):
+            _lzw_decode(b"\x00", bad, 4)
     # a code beyond the dictionary is corrupt, not extensible
     with pytest.raises(ValueError, match="LZW"):
         # min=2: clear=4, eoi=5; width 3. Emit clear(100b=4) then code 7

@@ -174,3 +174,16 @@ def test_progressive_truncation_raises(spark):
             f"truncation at byte {cut}/{len(blob)} decoded silently "
             f"(shape {out.shape} vs full {full.shape})"
         )
+
+
+def test_ac_first_zrl_past_band_raises(monkeypatch):
+    """A ZRL run that steps past Se is a corrupt stream; the first-scan AC
+    path must raise like the baseline path does, not exit the coefficient
+    loop silently with a wrong block (ADVICE r6)."""
+    from datasketches_pig_spark.imageops import jpeg as J
+
+    # stub the Huffman layer: emit ZRL (0xF0) forever
+    monkeypatch.setattr(J, "_decode_symbol", lambda r, t: 0xF0)
+    blk = np.zeros(64, dtype=np.int32)
+    with pytest.raises(ValueError, match="AC run past block end"):
+        J._ac_unit_first(blk, r=None, act=None, ss=1, se=5, al=0, eobrun=0)

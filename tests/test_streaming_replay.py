@@ -121,3 +121,24 @@ def test_replay_deterministic_across_runs(spark, events):
     a = a.sort_values("event_type").reset_index(drop=True)
     b = b.sort_values("event_type").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_replay_cleans_up_tempdirs_and_sink(spark, events):
+    """ADVICE r6: every replay run used to leak its /dev/shm workdir
+    (slices + stream + checkpoint — the same disk as spark.local.dir) and
+    pin the memory-sink table in driver memory forever."""
+    import glob
+
+    root = "/dev/shm" if __import__("os").path.isdir("/dev/shm") else None
+    before = set(glob.glob("/dev/shm/dsps_replay_*")) if root else set()
+    views_before = {t.name for t in spark.catalog.listTables()}
+    out = replay_events(spark, events, n_slices=4)
+    assert out.count() == 3  # result survives cleanup (materialized)
+    after = set(glob.glob("/dev/shm/dsps_replay_*")) if root else set()
+    assert after - before == set()
+    leaked = {
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("replay_")
+    } - views_before
+    assert leaked == set()
