@@ -36,6 +36,7 @@ compact mergeable state, union new data into it later.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
@@ -99,6 +100,91 @@ def save_history(
 
 def _journal_dir(base_path: str) -> str:
     return f"{base_path}/_fold_journal"
+
+
+class FoldLockError(RuntimeError):
+    """Another fold holds the store's writer lock (see ``_fold_lock``)."""
+
+
+FOLD_LOCK_STALE_S = 3600.0  # takeover age for a lock whose holder can't be probed
+
+
+@contextmanager
+def _fold_lock(base_path: str, stale_after_s: float = FOLD_LOCK_STALE_S):
+    """Single-writer fence for the fold journal.
+
+    The journal protocol (below) assumes ONE folder at a time: two concurrent
+    folds interleaving per-step flags would corrupt the store in a way
+    ``repair_fold`` cannot untangle (each would see the other's flags as its
+    own completed steps).  The fence is an ``O_CREAT|O_EXCL`` marker at
+    ``{base_path}/_fold_lock`` holding ``{pid, host, ts}``; a second fold
+    refuses loudly with ``FoldLockError`` instead of corrupting.
+
+    STALENESS TAKEOVER: a crashed holder leaves the marker behind (unlike an
+    in-process exception, which releases it in ``finally``).  The lock is
+    reclaimed when the holder is provably dead — same host and its pid no
+    longer exists — or, when liveness can't be probed (other host, corrupt
+    payload), after ``stale_after_s`` seconds of marker age.  Reclaim deletes
+    the marker and retries the atomic create, so two concurrent reclaimers
+    settle through ``O_EXCL`` (at most one wins; the other sees the fresh
+    marker and raises)."""
+    import json
+    import os
+    import socket
+    import time
+    from pathlib import Path
+
+    lock = Path(base_path) / "_fold_lock"
+    me = {"pid": os.getpid(), "host": socket.gethostname(), "ts": time.time()}
+    for _ in range(8):  # bounded retries: reclaim loops can't spin forever
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            holder, probe_dead = None, False
+            try:
+                holder = json.loads(lock.read_text())
+            except (OSError, ValueError):
+                holder = None  # corrupt/vanishing payload → age rule only
+            if holder and holder.get("host") == me["host"]:
+                try:
+                    os.kill(int(holder["pid"]), 0)
+                except ProcessLookupError:
+                    probe_dead = True
+                except (PermissionError, ValueError, TypeError, OSError):
+                    probe_dead = False
+            try:
+                age = time.time() - lock.stat().st_mtime
+            except OSError:
+                continue  # holder released between open and stat — retry
+            if probe_dead or age > stale_after_s:
+                try:
+                    lock.unlink()
+                except OSError:
+                    pass
+                continue
+            raise FoldLockError(
+                f"fold lock {lock} is held by {holder or 'an unknown writer'} "
+                f"(age {age:.0f}s); a concurrent fold on one store would "
+                "corrupt the journal — retry after the other fold finishes, "
+                "or delete the lock only if you have verified its holder is "
+                "dead"
+            )
+        try:
+            os.write(fd, json.dumps(me).encode())
+        finally:
+            os.close(fd)
+        try:
+            yield
+        finally:
+            try:
+                lock.unlink()
+            except OSError:
+                pass
+        return
+    raise FoldLockError(
+        f"fold lock {lock} could not be acquired after repeated stale-holder "
+        "reclaims — another writer keeps re-locking the store"
+    )
 
 
 def _require_local_base(base_path: str) -> None:
@@ -215,32 +301,37 @@ def fold_history(
     from pathlib import Path
 
     _require_local_base(base_path)
-    journal = _journal_dir(base_path)
-    pending = pending_fold(base_path)
-    if pending is not None:
-        if pending == batch_fingerprint(new_sigs):
-            # replay of the interrupted batch itself: its inputs are already
-            # journaled — just complete the fold idempotently
-            _fold_steps(spark, cfg, base_path, table_prefix, _fail_after)
-            return
-        # a DIFFERENT batch's fold was interrupted: finish it from its own
-        # journal first, then proceed with this one
-        _fold_steps(spark, cfg, base_path, table_prefix, None)
-    elif Path(journal).exists():
-        # no marker but journal debris exists (crash mid-input-write, or a
-        # partially deleted journal): stale flags/staged dirs must not leak
-        # into this fold's step accounting
-        shutil.rmtree(journal, ignore_errors=True)
-    # journal the re-fold inputs first — one extra batch-sized write, the
-    # parquet-mode WAL
-    new_sigs.write.mode("overwrite").parquet(f"{journal}/new_sigs")
-    assignments.select("clip_id", "cluster_id").write.mode("overwrite").parquet(
-        f"{journal}/assignments"
-    )
-    merges.write.mode("overwrite").parquet(f"{journal}/merges")
-    marker = Path(journal) / "marker.json"
-    marker.write_text(json.dumps(batch_fingerprint(new_sigs)))
-    _fold_steps(spark, cfg, base_path, table_prefix, _fail_after)
+    # SINGLE-WRITER FENCE (r7): the per-step flags and staged dirs below are
+    # only meaningful under one folder at a time — hold the store's writer
+    # lock for the whole journal-write + fold; a concurrent fold raises
+    # FoldLockError instead of interleaving flags
+    with _fold_lock(base_path):
+        journal = _journal_dir(base_path)
+        pending = pending_fold(base_path)
+        if pending is not None:
+            if pending == batch_fingerprint(new_sigs):
+                # replay of the interrupted batch itself: its inputs are
+                # already journaled — just complete the fold idempotently
+                _fold_steps(spark, cfg, base_path, table_prefix, _fail_after)
+                return
+            # a DIFFERENT batch's fold was interrupted: finish it from its
+            # own journal first, then proceed with this one
+            _fold_steps(spark, cfg, base_path, table_prefix, None)
+        elif Path(journal).exists():
+            # no marker but journal debris exists (crash mid-input-write, or
+            # a partially deleted journal): stale flags/staged dirs must not
+            # leak into this fold's step accounting
+            shutil.rmtree(journal, ignore_errors=True)
+        # journal the re-fold inputs first — one extra batch-sized write,
+        # the parquet-mode WAL
+        new_sigs.write.mode("overwrite").parquet(f"{journal}/new_sigs")
+        assignments.select("clip_id", "cluster_id").write.mode(
+            "overwrite"
+        ).parquet(f"{journal}/assignments")
+        merges.write.mode("overwrite").parquet(f"{journal}/merges")
+        marker = Path(journal) / "marker.json"
+        marker.write_text(json.dumps(batch_fingerprint(new_sigs)))
+        _fold_steps(spark, cfg, base_path, table_prefix, _fail_after)
 
 
 def repair_fold(
@@ -250,10 +341,11 @@ def repair_fold(
     executable form of the documented recovery contract.  No-op (False)
     when the store is clean; True when a pending fold was completed."""
     _require_local_base(base_path)
-    if pending_fold(base_path) is None:
-        return False
-    _fold_steps(spark, cfg, base_path, table_prefix, None)
-    return True
+    with _fold_lock(base_path):
+        if pending_fold(base_path) is None:
+            return False
+        _fold_steps(spark, cfg, base_path, table_prefix, None)
+        return True
 
 
 def _fold_steps(

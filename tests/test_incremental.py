@@ -327,3 +327,100 @@ def test_incremental_releases_shard_caches(spark, split_corpus):
         old_transcripts=day1.select("clip_id", "transcript"),
     )
     assert len(_SHARD_CACHES) == 0
+
+
+# ---------------------------------------------------------------------------
+# single-writer fence (VERDICT r6 item 4)
+# ---------------------------------------------------------------------------
+
+def test_fold_lock_refuses_second_writer(tmp_path):
+    """Two concurrent folds on one store would interleave journal step flags
+    in a way repair_fold can't untangle — the second must refuse loudly."""
+    from datasketches_pig_spark.incremental import FoldLockError, _fold_lock
+
+    base = str(tmp_path)
+    with _fold_lock(base):
+        with pytest.raises(FoldLockError, match="held by"):
+            with _fold_lock(base):
+                pass
+    # released on clean exit: a new writer acquires immediately
+    with _fold_lock(base):
+        pass
+
+
+def test_fold_lock_released_on_exception(tmp_path):
+    """An in-process crash (exception) must release the fence so the next
+    fold/repair can proceed — only a process death leaves the marker."""
+    from datasketches_pig_spark.incremental import _fold_lock
+
+    base = str(tmp_path)
+    with pytest.raises(RuntimeError, match="boom"):
+        with _fold_lock(base):
+            raise RuntimeError("boom")
+    assert not (tmp_path / "_fold_lock").exists()
+    with _fold_lock(base):
+        pass
+
+
+def test_fold_lock_dead_holder_reclaimed(tmp_path):
+    """A marker left by a provably-dead local process (staleness takeover
+    rule, liveness branch) is reclaimed without waiting out the age rule."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import time
+
+    from datasketches_pig_spark.incremental import _fold_lock
+
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    dead_pid = proc.pid
+    lock = tmp_path / "_fold_lock"
+    lock.write_text(json.dumps(
+        {"pid": dead_pid, "host": socket.gethostname(), "ts": time.time()}
+    ))
+    with _fold_lock(str(tmp_path)):
+        holder = json.loads(lock.read_text())
+        assert holder["pid"] == os.getpid()  # reclaimed, not shared
+
+
+def test_fold_lock_age_takeover_and_foreign_host(tmp_path):
+    """A holder whose liveness can't be probed (other host) is honored while
+    fresh and reclaimed only past the staleness age."""
+    import json
+    import os
+    import time
+
+    from datasketches_pig_spark.incremental import FoldLockError, _fold_lock
+
+    lock = tmp_path / "_fold_lock"
+    lock.write_text(json.dumps({"pid": 1, "host": "elsewhere", "ts": 0}))
+    with pytest.raises(FoldLockError):
+        with _fold_lock(str(tmp_path), stale_after_s=3600):
+            pass
+    old = time.time() - 7200
+    os.utime(lock, (old, old))
+    with _fold_lock(str(tmp_path), stale_after_s=3600):
+        pass
+    assert not lock.exists()
+
+
+def test_fold_history_refuses_under_held_lock(spark, tmp_path):
+    """The fence is wired into fold_history itself: with another writer's
+    live lock on the store, the fold raises before touching any table."""
+    import json
+    import os
+    import socket
+    import time
+
+    from datasketches_pig_spark.incremental import FoldLockError, fold_history
+
+    (tmp_path / "_fold_lock").write_text(json.dumps(
+        {"pid": os.getpid(), "host": socket.gethostname(), "ts": time.time()}
+    ))
+    dummy = spark.range(1).select(F.lit("c").alias("clip_id"))
+    with pytest.raises(FoldLockError, match="concurrent fold"):
+        fold_history(
+            spark, dummy, dummy, dummy, DedupConfig(), str(tmp_path), "locked"
+        )
