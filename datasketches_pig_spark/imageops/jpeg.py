@@ -297,6 +297,8 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
             frame = {"w": w, "h": h, "comps": comps, "progressive": marker == 0xC2}
             if frame["progressive"]:
                 prog_scans: list[tuple] = []
+            else:
+                seq_scans: list[tuple] = []
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"jpeg: SOF marker 0xFF{marker:02X} (arithmetic/lossless/"
@@ -327,16 +329,28 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
                      restart_interval)
                 )
                 continue
-            if ns != len(frame["comps"]):
-                # a conforming baseline file may split components across
-                # multiple (non-interleaved) scans; we decode only the first
-                # SOS with interleaved-MCU geometry, so fail loudly instead
-                # of returning a partial/garbled image
-                raise NotImplementedError(
-                    "jpeg: multi-scan (non-interleaved) baseline — scan has "
-                    f"{ns} of {len(frame['comps'])} frame components; only "
-                    "single-scan interleaved files are implemented"
+            if ns != len(frame["comps"]) or seq_scans:
+                # multi-scan baseline (T.81 §B.2.3): components split across
+                # several SOS (typically Y, Cb, Cr each non-interleaved) —
+                # accumulate scans progressive-style and decode after EOI
+                scomps = []
+                for i in range(ns):
+                    cs = int(seg[1 + 2 * i])
+                    td_ta = int(seg[2 + 2 * i])
+                    comp = next(c for c in frame["comps"] if c["id"] == cs)
+                    # table OBJECTS now: files legally redefine DHT per scan
+                    scomps.append(
+                        (comp, huffs.get((0, td_ta >> 4)), huffs.get((1, td_ta & 0xF)))
+                    )
+                ss = int(seg[1 + 2 * ns])
+                se = int(seg[2 + 2 * ns])
+                ah_al = int(seg[3 + 2 * ns])
+                readers, check, pos = _entropy_segments(data, pos)
+                seq_scans.append(
+                    (scomps, ss, se, ah_al >> 4, ah_al & 0xF, readers, check,
+                     restart_interval)
                 )
+                continue
             scan = []
             for i in range(ns):
                 cs = int(seg[1 + 2 * i])
@@ -356,6 +370,24 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
                 "jpeg: progressive stream ended without EOI (truncated payload)"
             )
         return _decode_progressive(frame, prog_scans, qts)
+    if frame is not None and not frame.get("progressive") and seq_scans:
+        if not saw_eoi:
+            raise ValueError(
+                "jpeg: baseline stream ended without EOI (truncated payload)"
+            )
+        seen = sorted(
+            c["id"] for (scomps, *_rest) in seq_scans for (c, _, _) in scomps
+        )
+        want = sorted(c["id"] for c in frame["comps"])
+        if seen != want:
+            # a missing component would assemble from zero coefficients (a
+            # flat gray plane); a duplicate would double-decode — both are
+            # corrupt streams, not decodable variants
+            raise ValueError(
+                f"jpeg: multi-scan baseline covers components {seen} but the "
+                f"frame declares {want}"
+            )
+        return _decode_sequential_multi(frame, seq_scans, qts)
     raise ValueError("jpeg: no SOS marker found")
 
 
@@ -452,27 +484,110 @@ def _decode_scan(data, pos, frame, scan, qts, huffs, restart_interval):
             for v in range(comp["v"]):
                 for hh in range(comp["h"]):
                     blk = comp["coef"][my * comp["v"] + v, mx * comp["h"] + hh]
-                    t = _decode_symbol(r, dct)
-                    diff = _extend(r.receive(t), t) if t else 0
-                    comp["pred"] += diff
-                    blk[0] = comp["pred"]
-                    k = 1
-                    while k < 64:
-                        rs = _decode_symbol(r, act)
-                        rr, ss = rs >> 4, rs & 0xF
-                        if ss == 0:
-                            if rr == 15:
-                                k += 16  # ZRL
-                                continue
-                            break  # EOB
-                        k += rr
-                        if k > 63:
-                            raise ValueError("jpeg: AC run past block end")
-                        blk[k] = _extend(r.receive(ss), ss)
-                        k += 1
+                    _seq_unit(blk, comp, r, dct, act)
     _check_exhausted(r, seg_idx)
 
     return _assemble(frame, [comp for comp, _, _ in scan], qts)
+
+
+def _seq_unit(blk, comp, r, dct, act):
+    """One sequential-DCT block: DC diff + full-band AC run-length loop
+    (T.81 §F.2.2).  Shared by the single-scan fast path and the multi-scan
+    baseline walk — sequential EOB means 'rest of THIS block is zero' (no
+    progressive EOB runs), so this is deliberately not ``_ac_unit_first``."""
+    t = _decode_symbol(r, dct)
+    diff = _extend(r.receive(t), t) if t else 0
+    comp["pred"] += diff
+    blk[0] = comp["pred"]
+    k = 1
+    while k < 64:
+        rs = _decode_symbol(r, act)
+        rr, ss = rs >> 4, rs & 0xF
+        if ss == 0:
+            if rr == 15:
+                k += 16  # ZRL
+                continue
+            if rr:
+                # EOBn is a progressive-only symbol; decoding it as a bare
+                # EOB here would silently desync every following block
+                raise ValueError(
+                    "jpeg: progressive EOB-run symbol in a sequential scan"
+                )
+            break  # EOB
+        k += rr
+        if k > 63:
+            raise ValueError("jpeg: AC run past block end")
+        blk[k] = _extend(r.receive(ss), ss)
+        k += 1
+
+
+def _decode_sequential_multi(frame, scans, qts):
+    """Multi-scan BASELINE/extended-sequential decode (T.81 §B.2.3 allows a
+    frame's components to arrive split across several SOS — e.g. Y, then Cb,
+    then Cr, each non-interleaved).  Reuses the progressive machinery's
+    per-scan table snapshots / entropy segmentation / ceil-dims rasters; the
+    per-block coding is plain sequential (``_seq_unit``).  Single-component
+    scans walk the component's own (non-MCU-padded) block raster; a
+    several-of-N interleaved scan walks frame-MCU geometry over just its
+    components, per A.2.3."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    w, h = frame["w"], frame["h"]
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for comp in frame["comps"]:
+        comp["coef"] = np.zeros((mcuy * comp["v"], mcux * comp["h"], 64), np.int64)
+        cw = -(-(w * comp["h"]) // hmax)
+        ch = -(-(h * comp["v"]) // vmax)
+        comp["nbx"], comp["nby"] = -(-cw // 8), -(-ch // 8)
+
+    for scomps, ss, se, ah, al, readers, check, ri in scans:
+        if (ss, se, ah, al) != (0, 63, 0, 0):
+            raise ValueError(
+                f"jpeg: sequential scan with progressive parameters "
+                f"Ss={ss} Se={se} Ah={ah} Al={al}"
+            )
+        for comp, dct, act in scomps:
+            if dct is None or act is None:
+                raise ValueError(
+                    "jpeg: sequential scan references an undefined Huffman "
+                    "table"
+                )
+            comp["pred"] = 0
+        interleaved = len(scomps) > 1
+        if interleaved:
+            n_units = mcux * mcuy
+        else:
+            comp0 = scomps[0][0]
+            n_units = comp0["nbx"] * comp0["nby"]
+        seg_idx = 0
+        r = readers[0]
+        for m in range(n_units):
+            if ri and m and m % ri == 0:
+                check(r, seg_idx)
+                seg_idx += 1
+                if seg_idx >= len(readers):
+                    raise ValueError(
+                        "jpeg: missing restart marker (truncated scan)"
+                    )
+                r = readers[seg_idx]
+                for comp, _, _ in scomps:
+                    comp["pred"] = 0
+            if interleaved:
+                my, mx = divmod(m, mcux)
+                for comp, dct, act in scomps:
+                    for v in range(comp["v"]):
+                        for hh in range(comp["h"]):
+                            blk = comp["coef"][
+                                my * comp["v"] + v, mx * comp["h"] + hh
+                            ]
+                            _seq_unit(blk, comp, r, dct, act)
+            else:
+                comp, dct, act = scomps[0]
+                by_, bx_ = divmod(m, comp["nbx"])
+                _seq_unit(comp["coef"][by_, bx_], comp, r, dct, act)
+        check(r, seg_idx)
+    return _assemble(frame, frame["comps"], qts)
 
 
 def _decode_progressive(frame, scans, qts):
@@ -579,6 +694,11 @@ def _ac_unit_first(blk, r, act, ss, se, al, eobrun):
         if s == 0:
             if rr == 15:
                 k += 16  # ZRL
+                # a ZRL that runs past the spectral band is a corrupt
+                # stream; without this check the loop exits silently and
+                # the block decodes wrong instead of failing loudly
+                if k > se + 1:
+                    raise ValueError("jpeg: AC run past block end")
                 continue
             eobrun = (1 << rr) - 1
             if rr:
@@ -759,8 +879,19 @@ def _plane_to_blocks(plane: np.ndarray) -> np.ndarray:
     ), ph // 8, pw // 8
 
 
-def jpeg_encode(img: np.ndarray, quality: int = 85, subsample: bool = True) -> bytes:
-    """uint8 H×W×3 RGB → baseline JFIF bytes (4:2:0 when ``subsample``)."""
+def jpeg_encode(
+    img: np.ndarray,
+    quality: int = 85,
+    subsample: bool = True,
+    multiscan: bool = False,
+) -> bytes:
+    """uint8 H×W×3 RGB → baseline JFIF bytes (4:2:0 when ``subsample``).
+
+    ``multiscan`` emits the same quantized coefficients as THREE
+    non-interleaved SOS (Y, then Cb, then Cr — T.81 §B.2.3) instead of one
+    interleaved scan: the test oracle for the multi-scan decode path, since
+    decode(multiscan) must be bit-identical to decode(single-scan) of the
+    same image."""
     if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
         raise ValueError("jpeg_encode expects uint8 HxWx3")
     h, w = img.shape[:2]
@@ -831,15 +962,6 @@ def jpeg_encode(img: np.ndarray, quality: int = 85, subsample: bool = True) -> b
 
     out += dht(0, 0, DC_LUM) + dht(1, 0, AC_LUM) + dht(0, 1, DC_CHR) + dht(1, 1, AC_CHR)
 
-    # SOS
-    sos = bytearray([3])
-    for i in range(3):
-        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
-    sos += b"\x00\x3f\x00"
-    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + bytes(sos)
-
-    # interleaved MCU entropy data
-    wr = _BitWriter()
     dc_tabs = (
         _huff_encode_table(*DC_LUM),
         _huff_encode_table(*DC_CHR),
@@ -850,6 +972,35 @@ def jpeg_encode(img: np.ndarray, quality: int = 85, subsample: bool = True) -> b
         _huff_encode_table(*AC_CHR),
         _huff_encode_table(*AC_CHR),
     )
+
+    if multiscan:
+        # one non-interleaved SOS per component: each walks the component's
+        # OWN ceil-dims block raster (nbx×nby), not the MCU-padded grid —
+        # the padded-grid extras cover only cropped pixels and are legally
+        # absent from the stream
+        for ci, (zz, by, bx, sh, sv) in enumerate(comp_zz):
+            cw = -(-(w * sh) // hmax)
+            ch = -(-(h * sv) // vmax)
+            nbx, nby = -(-cw // 8), -(-ch // 8)
+            sos = bytes([1, ci + 1, 0x00 if ci == 0 else 0x11]) + b"\x00\x3f\x00"
+            out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+            wr = _BitWriter()
+            raster = zz.reshape(by, bx, 64)[:nby, :nbx].reshape(-1, 64)
+            _encode_component_blocks(raster, wr, dc_tabs[ci], ac_tabs[ci], 0)
+            wr.flush()
+            out += wr.bytes
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    # SOS
+    sos = bytearray([3])
+    for i in range(3):
+        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + bytes(sos)
+
+    # interleaved MCU entropy data
+    wr = _BitWriter()
     preds = [0, 0, 0]
     for m in range(mcux * mcuy):
         my, mx = divmod(m, mcux)

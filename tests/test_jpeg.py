@@ -140,3 +140,71 @@ def test_jpeg_neardup_recall_compressed_vs_raw(spark):
     found = {(r.a, r.b) for r in pairs.itertuples()}
     for i in range(8):
         assert (i, 100 + i) in found, f"jpeg re-encode of image {i} missed"
+
+
+# ---------------------------------------------------------------------------
+# multi-scan (non-interleaved) baseline — VERDICT r6 item 3
+# ---------------------------------------------------------------------------
+
+def _multiscan_blob(rng, w=56, h=41, subsample=True, quality=88):
+    img = _synth(rng, w=w, h=h)
+    return (
+        img,
+        jpeg_encode(img, quality=quality, subsample=subsample),
+        jpeg_encode(img, quality=quality, subsample=subsample, multiscan=True),
+    )
+
+
+def test_multiscan_equals_singlescan_bit_identical():
+    """The same quantized coefficients split across three non-interleaved
+    SOS must decode BIT-IDENTICAL to the single interleaved scan — the
+    strongest oracle available (same data, two legal stream layouts)."""
+    rng = np.random.default_rng(41)
+    for w, h, sub in ((56, 41, True), (56, 41, False), (16, 16, True), (9, 23, True)):
+        img, single, multi = _multiscan_blob(rng, w=w, h=h, subsample=sub)
+        assert multi.count(b"\xff\xda") == 3
+        a, b = jpeg_decode(single), jpeg_decode(multi)
+        assert np.array_equal(a, b), (w, h, sub)
+        assert a.shape == img.shape
+
+
+def test_multiscan_decodes_in_jdk(spark):
+    """Interoperability: the JDK must decode our multi-scan stream to the
+    same image it reads from the single-scan stream — proves the emitted
+    multi-scan layout is CONFORMANT, not merely self-consistent."""
+    rng = np.random.default_rng(43)
+    _, single, multi = _multiscan_blob(rng)
+    theirs_m = _java_decode(spark, multi)
+    theirs_s = _java_decode(spark, single)
+    assert np.array_equal(theirs_m, theirs_s)
+    # tight ours-vs-JDK comparison on FLAT chroma (the JDK interpolates
+    # 4:2:0 chroma where we sample-repeat, so a noisy-chroma comparison is
+    # loose by construction — same device as the progressive suite's
+    # flat-chroma test; the exact oracle is the bit-identity test above)
+    rng2 = np.random.default_rng(44)
+    gray = _synth(rng2)[..., :1].repeat(3, axis=-1)
+    multi_flat = jpeg_encode(gray, quality=90, multiscan=True)
+    ours = jpeg_decode(multi_flat)
+    theirs = _java_decode(spark, multi_flat)
+    assert np.abs(ours.astype(float) - theirs.astype(float)).max() <= 1.0
+
+
+def test_multiscan_missing_component_raises():
+    """A multi-scan stream that never delivers one declared component would
+    assemble a flat-gray plane — corrupt, must refuse."""
+    rng = np.random.default_rng(47)
+    _, _, multi = _multiscan_blob(rng)
+    # drop the last scan: find the third SOS and cut from there to EOI
+    third_sos = multi.rfind(b"\xff\xda")
+    cut = multi[:third_sos] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="covers components"):
+        jpeg_decode(cut)
+
+
+def test_multiscan_truncation_raises():
+    """No EOI after the accumulated scans = truncated payload."""
+    rng = np.random.default_rng(53)
+    _, _, multi = _multiscan_blob(rng)
+    assert multi.endswith(b"\xff\xd9")
+    with pytest.raises(ValueError, match="without EOI|truncated"):
+        jpeg_decode(multi[:-2])
