@@ -40,6 +40,16 @@ video    ``fn(blob: bytes, w: int, h: int)``    uint8 array (n_frames, H, W, 3)
 
 Reference parity: n/a — the Pig reference has no media operators; this seam
 is part of the engine's large-scale training-data-pipeline surface.
+
+Real-decoder availability in this sandbox: the only non-fake third-party
+decode stack present is CPython's stdlib ``aifc``/``sunau`` containers with
+C ``audioop`` decompression (deprecated in 3.11, removed in 3.13).
+``audioops/stdlib_decoders.py`` registers them (tags ``aiff``/``au``) and
+their tests double as the registry's real-decoder contract case — including
+a bit-exact 256-code cross-validation of our G.711 tables against
+``audioop``'s C implementation.  No other pure-Python media decoder exists
+in site-packages here (checked r7); mp3/opus/webp/h264-class codecs remain
+registry-delegated by design.
 """
 
 from __future__ import annotations
