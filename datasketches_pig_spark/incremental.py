@@ -96,10 +96,74 @@ def save_history(
         .format("parquet")
         .saveAsTable(f"{table_prefix}_clusters")
     )
+    # stamp the store with its config + layout version so a later fold under
+    # a drifted config refuses instead of merging incompatible summaries
+    scheme, sep, _ = base_path.partition("://")
+    if not sep or scheme == "file":
+        _write_store_meta(base_path, cfg, num_buckets)
 
 
 def _journal_dir(base_path: str) -> str:
     return f"{base_path}/_fold_journal"
+
+
+STORE_VERSION = 1  # bump when the store layout/merge semantics change
+
+
+def _store_meta_path(base_path: str):
+    from pathlib import Path
+
+    return Path(base_path) / "_store_meta.json"
+
+
+def _write_store_meta(base_path: str, cfg: DedupConfig, num_buckets: int | None) -> None:
+    import json
+
+    meta = {
+        "store_version": STORE_VERSION,
+        "config_hash": cfg.config_hash(),
+        "num_buckets": num_buckets,
+    }
+    _store_meta_path(base_path).write_text(json.dumps(meta, sort_keys=True))
+
+
+def _check_store_meta(base_path: str, cfg: DedupConfig) -> None:
+    """Refuse to fold into a store built under a different config or layout
+    version — the same discipline the pipeline's resume applies
+    (``pipeline.py:68``).  The band-summary merge math depends on the
+    config's band layout; folding a batch computed under different bands
+    would corrupt the store silently, which is strictly worse than refusing.
+
+    A store without a meta file (written before this check existed) is
+    adopted: the current config is stamped as the store's, mirroring how a
+    legacy checkpoint would be treated on first resume.
+    """
+    import json
+
+    p = _store_meta_path(base_path)
+    if not p.exists():
+        _write_store_meta(base_path, cfg, None)
+        return
+    try:
+        meta = json.loads(p.read_text())
+    except (json.JSONDecodeError, OSError) as e:
+        raise ValueError(
+            f"store meta {p} is corrupted ({e}); refusing to fold — restore "
+            "or delete it only after verifying the store's config by hand"
+        ) from e
+    if meta.get("store_version") != STORE_VERSION:
+        raise ValueError(
+            f"refusing to fold: store version {meta.get('store_version')} != "
+            f"supported {STORE_VERSION} (store {base_path})"
+        )
+    if meta.get("config_hash") != cfg.config_hash():
+        raise ValueError(
+            "refusing to fold: store config_hash "
+            f"{meta.get('config_hash')} != current {cfg.config_hash()} "
+            f"(store {base_path}) — a fold under a different band/sketch "
+            "config would merge incompatible summaries; rebuild the store "
+            "or use the original config"
+        )
 
 
 class FoldLockError(RuntimeError):
@@ -306,6 +370,7 @@ def fold_history(
     # lock for the whole journal-write + fold; a concurrent fold raises
     # FoldLockError instead of interleaving flags
     with _fold_lock(base_path):
+        _check_store_meta(base_path, cfg)
         journal = _journal_dir(base_path)
         pending = pending_fold(base_path)
         if pending is not None:
@@ -342,6 +407,7 @@ def repair_fold(
     when the store is clean; True when a pending fold was completed."""
     _require_local_base(base_path)
     with _fold_lock(base_path):
+        _check_store_meta(base_path, cfg)
         if pending_fold(base_path) is None:
             return False
         _fold_steps(spark, cfg, base_path, table_prefix, None)
