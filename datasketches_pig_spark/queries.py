@@ -1108,17 +1108,21 @@ SELECT o_custkey AS custkey FROM orders WHERE YEAR(o_orderdate) = 1997
 
 def q_streaming_replay(spark, sf_dir):
     """THE oracle-gated genuinely-stateful streaming row (SURVEY §2.10
-    streaming analog): the events table is replayed as ≥6 deterministic
+    streaming analog): the events table is replayed as 4 deterministic
     micro-batches through ``applyInPandasWithState``
     (``streaming/ops.py:streaming_replay_stats``) — per event_type the state
     carries cumulative (count, value sum, KMV user sketch) across every
     batch boundary, and the final emission matches the batch GROUP BY
-    oracle only if that state survives.  distinct_users is exact because
-    the sf0.01 corpus keeps the sketch below k (exact-below-k contract)."""
+    oracle only if that state survives.  Every event_type appears in every
+    slice, so each key's state must survive 3 batch boundaries (the gate
+    needs ≥2 batches per key; r7 trimmed 6→4 slices + 8→2 state partitions
+    for a measured 4.0–5.1 → 2.7–3.1 s cut at identical hashes).
+    distinct_users is exact because the sf0.01 corpus keeps the sketch
+    below k (exact-below-k contract)."""
     from datasketches_pig_spark.streaming.replay import replay_events
 
     ev = _t(spark, sf_dir, "events")
-    final = replay_events(spark, ev, n_slices=6)
+    final = replay_events(spark, ev, n_slices=4)
     return final.select(
         "event_type",
         "n_events",

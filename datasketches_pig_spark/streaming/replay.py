@@ -103,8 +103,16 @@ def _replay_events(
     # default (2x cores) that is ~2 s/batch of pure state-store overhead.
     # Scope the streaming query to a few state partitions (baked into the
     # fresh checkpoint at batch 0) and restore the session conf after.
+    # r7 trim (interleaved A/B at sf0.1/32c, 4 trials): parts 8→2 + no-data
+    # micro-batches off cut the replay 4.0–5.1 s → 2.7–3.1 s warm at
+    # hash-identical output.  The remaining wall is the engine's per-trigger
+    # floor (~650 ms/batch: addBatch ~500 ms of which state commit ~400 ms,
+    # plus offset/WAL logs + planning ~170 ms) — async progress tracking
+    # would hide the log writes but is incompatible with availableNow.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    prev_nodata = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         query = (
             out.writeStream.format("memory")
@@ -117,6 +125,9 @@ def _replay_events(
         query.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
     emitted = spark.table(qname)
     # last emission per key = struct-max on the strictly-increasing n_events
     final = (
