@@ -2,21 +2,25 @@
 
 Closes another real crawl-corpus format (r6): LZW decompression
 (variable-width LSB-first codes, clear/EOI, 12-bit dictionary cap),
-global + local color tables, the 4-pass row interlace, and first-frame
-compositing onto the logical canvas.  Scope (honest limits, enforced
-loudly):
+global + local color tables, the 4-pass row interlace, and frame
+compositing onto the logical canvas.  Since r7 the full animation
+decodes: ``gif_decode_frames`` composites every frame honoring the
+GIF89a disposal methods (1 draw-over, 2 restore-to-background,
+3 restore-to-previous), so animated GIFs ride the video near-dup path
+(``videoops/frames.py`` codec tag ``gif_anim``) while the image path
+(``gif_decode``) keeps its first-frame contract bit-for-bit.
 
-* FIRST frame only — the perceptual near-dup feature stage consumes one
-  RGB frame per image payload; animated GIFs decode to their first frame
-  (by far the dominant single-frame case in practice).  Transparent
-  pixels keep the canvas background color.
-* Corrupt streams raise: truncated sub-blocks, LZW code overrun, pixel
-  under/overflow, and missing image data are all errors — never a
-  silently-wrong frame (same contract as the JPEG/PNG codecs).
+Honest limits, enforced loudly: corrupt streams raise — truncated
+sub-blocks, LZW code overrun, pixel under/overflow, missing image data
+and (on the multi-frame path) a missing trailer are all errors, never a
+silently-wrong or silently-partial animation (same contract as the
+JPEG/PNG codecs).
 
-Cross-validated against the JDK's javax.imageio GIF reader with EXACT
-equality (palette lookup is lossless) in ``tests/test_gif.py``, including
-JDK-written interlaced streams.
+Cross-validated against the JDK's javax.imageio GIF reader/writer with
+EXACT equality (palette lookup is lossless) in ``tests/test_gif.py``,
+including JDK-written interlaced and ``writeToSequence`` animated
+streams; the disposal-method compositor is pinned by hand-assembled
+partial-region streams with hand-computed expected canvases.
 """
 
 from __future__ import annotations
@@ -106,9 +110,132 @@ def _sub_blocks(blob: bytes, pos: int) -> tuple[bytes, int]:
 _INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def gif_decode(blob: bytes) -> np.ndarray:
-    """GIF87a/89a → uint8 H×W×3 RGB of the FIRST frame composited on the
-    logical-screen canvas."""
+def _lzw_encode_literals(indices: np.ndarray, min_code: int) -> bytes:
+    """Literal-only GIF LZW: every pixel is emitted as its own root code.
+
+    Valid (if uncompressed) LZW — the decoder's dictionary/width state
+    machine is mirrored exactly so variable code widths stay in sync.
+    Encoder role is test-oracle/corpus synthesis, like ``mjpeg_encode``."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    bits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    width = min_code + 1
+    emit(clear, width)
+    dict_len = clear + 2
+    prev = False
+    for v in indices:
+        emit(int(v), width)
+        # decoder appends one dictionary entry per code after the first
+        # (post-clear) code, bumping the code width when the dictionary
+        # fills the current width — mirror that exactly
+        if prev and dict_len < 4096:
+            dict_len += 1
+            if dict_len == (1 << width) and width < 12:
+                width += 1
+        prev = True
+    emit(eoi, width)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _to_sub_blocks(data: bytes) -> bytes:
+    chunks = []
+    for i in range(0, len(data), 255):
+        part = data[i : i + 255]
+        chunks.append(bytes([len(part)]) + part)
+    chunks.append(b"\x00")
+    return b"".join(chunks)
+
+
+def gif_encode(
+    w: int,
+    h: int,
+    palette: np.ndarray,
+    frames: list[dict],
+    bg_idx: int = 0,
+) -> bytes:
+    """Assemble a GIF89a stream (animated when ``len(frames) > 1``).
+
+    ``palette``: (n≤256, 3) uint8 global color table. Each frame dict:
+    ``idx`` (2-D uint8 palette indices, required) plus optional ``x``/``y``
+    region offset, ``disposal`` (0-3), ``transparent`` index and
+    ``interlace``. Deterministic, pure-Python — the corpus/second-
+    implementation side of the codec's roundtrip tests."""
+    palette = np.asarray(palette, dtype=np.uint8)
+    if palette.ndim != 2 or palette.shape[1] != 3 or not 1 <= len(palette) <= 256:
+        raise ValueError("gif_encode: palette must be (1..256, 3) uint8")
+    size_bits = max(1, (len(palette) - 1).bit_length())
+    n_gct = 1 << size_bits
+    gct = np.zeros((n_gct, 3), dtype=np.uint8)
+    gct[: len(palette)] = palette
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | (size_bits - 1), bg_idx, 0)
+    out += gct.tobytes()
+    min_code = max(2, size_bits)
+    for fr in frames:
+        idx = np.asarray(fr["idx"], dtype=np.uint8)
+        ih, iw = idx.shape
+        x = int(fr.get("x", 0))
+        y = int(fr.get("y", 0))
+        disposal = int(fr.get("disposal", 0))
+        transparent = fr.get("transparent")
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("gif_encode: index out of palette range")
+        # graphic control extension (per-frame disposal + transparency)
+        packed = (disposal & 0x07) << 2 | (1 if transparent is not None else 0)
+        out += bytes([0x21, 0xF9, 4, packed, 0, 0, transparent or 0, 0])
+        iflags = 0
+        if fr.get("interlace"):
+            iflags |= 0x40
+            rows = np.concatenate(
+                [np.arange(start, ih, step) for start, step in _INTERLACE]
+            )
+            emit_idx = idx[rows]
+        else:
+            emit_idx = idx
+        out += b"\x2C" + struct.pack("<HHHHB", x, y, iw, ih, iflags)
+        out += bytes([min_code])
+        out += _to_sub_blocks(_lzw_encode_literals(emit_idx.ravel(), min_code))
+    out += b"\x3B"
+    return bytes(out)
+
+
+def gif_decode_frames(blob: bytes, max_frames: int | None = None) -> np.ndarray:
+    """GIF87a/89a → uint8 (n_frames, H, W, 3) RGB canvases, each frame
+    composited per its GIF89a disposal method.
+
+    Disposal semantics (the canvas is opaque RGB, so "transparent" resolves
+    to whatever the canvas holds at that pixel):
+
+    * 0/1 (unspecified / keep): the drawn canvas persists into the next
+      frame's composition.
+    * 2 (restore to background): after the frame is emitted, its region
+      resets to the logical-screen background color.
+    * 3 (restore to previous): after the frame is emitted, the whole canvas
+      reverts to its pre-draw state.
+
+    ``max_frames`` stops parsing as soon as that many frames have been
+    composited (the image path's first-frame decode never walks a long
+    animation); without it the stream must terminate in a trailer — a
+    stream that ends mid-animation raises rather than returning a
+    silently-partial clip.
+    """
+    if max_frames is not None and max_frames < 1:
+        raise ValueError("gif: max_frames must be >= 1")
     if blob[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("gif: bad signature")
     if len(blob) < 13:
@@ -123,16 +250,23 @@ def gif_decode(blob: bytes) -> np.ndarray:
         gct = np.frombuffer(blob[pos : pos + 3 * n], np.uint8).reshape(n, 3)
         pos += 3 * n
 
-    canvas = np.zeros((h, w, 3), dtype=np.uint8)
     if gct is not None and bg_idx < gct.shape[0]:
-        canvas[:] = gct[bg_idx]
+        background = gct[bg_idx].copy()
+    else:
+        background = np.zeros(3, dtype=np.uint8)
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    canvas[:] = background
     transparent = None
+    disposal = 0
+    frames: list[np.ndarray] = []
 
     while pos < len(blob):
         b0 = blob[pos]
         pos += 1
         if b0 == 0x3B:  # trailer
-            raise ValueError("gif: no image frame before trailer")
+            if not frames:
+                raise ValueError("gif: no image frame before trailer")
+            return np.stack(frames)
         if b0 == 0x21:  # extension
             if pos >= len(blob):
                 raise ValueError("gif: truncated extension")
@@ -140,8 +274,12 @@ def gif_decode(blob: bytes) -> np.ndarray:
             pos += 1
             data, pos = _sub_blocks(blob, pos)
             if label == 0xF9 and len(data) >= 4:  # graphic control
-                if data[0] & 0x01:
-                    transparent = data[3]
+                disposal = (data[0] >> 2) & 0x07
+                if disposal > 3:
+                    raise ValueError(
+                        f"gif: reserved disposal method {disposal}"
+                    )
+                transparent = data[3] if data[0] & 0x01 else None
             continue
         if b0 != 0x2C:
             raise ValueError(f"gif: unexpected block 0x{b0:02X}")
@@ -181,11 +319,31 @@ def gif_decode(blob: bytes) -> np.ndarray:
         else:
             frame_idx = idx.reshape(ih, iw)
         frame = ct[frame_idx]
+        saved = canvas.copy() if disposal == 3 else None
         if transparent is not None:
             keep = frame_idx == transparent
             region = canvas[iy : iy + ih, ix : ix + iw]
             frame = np.where(keep[..., None], region, frame)
         canvas[iy : iy + ih, ix : ix + iw] = frame
-        return canvas  # FIRST frame only (documented scope)
+        frames.append(canvas.copy())
+        if max_frames is not None and len(frames) >= max_frames:
+            return np.stack(frames)
+        if disposal == 2:
+            canvas[iy : iy + ih, ix : ix + iw] = background
+        elif disposal == 3:
+            canvas = saved
+        transparent = None
+        disposal = 0
 
-    raise ValueError("gif: truncated stream (no image data)")
+    if not frames:
+        raise ValueError("gif: truncated stream (no image data)")
+    raise ValueError(
+        f"gif: truncated animation ({len(frames)} frames, no trailer)"
+    )
+
+
+def gif_decode(blob: bytes) -> np.ndarray:
+    """GIF87a/89a → uint8 H×W×3 RGB of the FIRST frame composited on the
+    logical-screen canvas (bit-identical to the r6 single-frame decoder;
+    parsing stops at the first frame)."""
+    return gif_decode_frames(blob, max_frames=1)[0]

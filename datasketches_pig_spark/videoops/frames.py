@@ -65,6 +65,16 @@ def decode_frames(
                 f"metadata {(height, width)}"
             )
         return frames
+    if codec == "gif_anim":
+        from datasketches_pig_spark.imageops.gif import gif_decode_frames
+
+        frames = gif_decode_frames(blob)
+        if frames.shape[1:3] != (height, width):
+            raise ValueError(
+                f"dim mismatch: container {frames.shape[1:3]} "
+                f"metadata {(height, width)}"
+            )
+        return frames
     from datasketches_pig_spark import decoders as _reg
 
     table = decoders if decoders is not None else _reg.video_decoder_snapshot()

@@ -151,3 +151,159 @@ def test_cross_format_near_dup_coclusters(spark):
     # no cross-source pair
     for a, b in got:
         assert a // 10 == b // 10, f"false positive pair {a}-{b}"
+
+
+# ---------------------------------------------------------------------------
+# r7: animated GIF — full compositing with disposal methods
+# ---------------------------------------------------------------------------
+
+from datasketches_pig_spark.imageops.gif import gif_decode_frames, gif_encode
+
+
+def _jdk_encode_gif_sequence(spark, imgs):
+    """JDK writeToSequence — third-party animated bitstreams."""
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(None)
+    for img in imgs:
+        h, w = img.shape[:2]
+        bimg = jvm.java.awt.image.BufferedImage(w, h, 1)
+        arr = gw.new_array(jvm.int, w * h)
+        flat = (
+            (img[:, :, 0].astype(np.int64) << 16)
+            | (img[:, :, 1].astype(np.int64) << 8)
+            | img[:, :, 2].astype(np.int64)
+        ).ravel()
+        for i, v in enumerate(flat):
+            arr[i] = int(v)
+        bimg.setRGB(0, 0, w, h, arr, 0, w)
+        writer.writeToSequence(
+            jvm.javax.imageio.IIOImage(bimg, None, None),
+            writer.getDefaultWriteParam(),
+        )
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    return bytes(baos.toByteArray())
+
+
+def _reference_composite(w, h, palette, frames, bg_idx=0):
+    """Independent scalar compositor over the ENCODER'S INPUTS (ground
+    truth, no GIF parsing) — the decoder must reproduce these canvases."""
+    palette = np.asarray(palette, dtype=np.uint8)
+    bg = palette[bg_idx] if bg_idx < len(palette) else np.zeros(3, np.uint8)
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    canvas[:] = bg
+    out = []
+    for fr in frames:
+        idx = np.asarray(fr["idx"], dtype=np.uint8)
+        ih, iw = idx.shape
+        x, y = int(fr.get("x", 0)), int(fr.get("y", 0))
+        disposal = int(fr.get("disposal", 0))
+        transparent = fr.get("transparent")
+        saved = canvas.copy()
+        for r in range(ih):
+            for c in range(iw):
+                if transparent is not None and idx[r, c] == transparent:
+                    continue
+                canvas[y + r, x + c] = palette[idx[r, c]]
+        out.append(canvas.copy())
+        if disposal == 2:
+            canvas[y : y + ih, x : x + iw] = bg
+        elif disposal == 3:
+            canvas = saved
+    return np.stack(out)
+
+
+def test_gif_animation_disposal_methods():
+    """Partial-region frames across all disposal methods + transparency,
+    decoded canvases exactly equal to an independent scalar compositor
+    driven by the encoder's ground-truth inputs."""
+    rng = np.random.default_rng(77)
+    w, h = 19, 13
+    palette = rng.integers(0, 256, (11, 3), dtype=np.uint8)
+    frames = [
+        {"idx": rng.integers(0, 11, (h, w), dtype=np.uint8)},  # full base
+        # draw-over partial region, keep (disposal 1)
+        {"idx": rng.integers(0, 11, (5, 7), dtype=np.uint8),
+         "x": 3, "y": 2, "disposal": 1},
+        # restore-to-background region (disposal 2)
+        {"idx": rng.integers(0, 11, (4, 6), dtype=np.uint8),
+         "x": 9, "y": 6, "disposal": 2},
+        # restore-to-previous (disposal 3): this frame must not leak into 5
+        {"idx": rng.integers(0, 11, (6, 5), dtype=np.uint8),
+         "x": 1, "y": 5, "disposal": 3},
+        # transparency: index 4 pixels keep the prior canvas
+        {"idx": rng.integers(0, 11, (h, w), dtype=np.uint8),
+         "transparent": 4, "interlace": True},
+    ]
+    blob = gif_encode(w, h, palette, frames, bg_idx=2)
+    got = gif_decode_frames(blob)
+    want = _reference_composite(w, h, palette, frames, bg_idx=2)
+    assert got.shape == (5, h, w, 3)
+    for i in range(5):
+        assert np.array_equal(got[i], want[i]), f"frame {i}"
+    # first-frame contract: gif_decode == frame 0, bit for bit
+    assert np.array_equal(gif_decode(blob), want[0])
+
+
+def test_gif_animated_vs_jdk_sequence(spark):
+    """JDK writeToSequence animated streams (real third-party bitstreams)
+    decode to the exact source frames; full-canvas opaque frames make
+    raw == composited, so equality is strict."""
+    rng = np.random.default_rng(21)
+    imgs = [_palette_image(rng, 18, 23, n_colors=9) for _ in range(4)]
+    blob = _jdk_encode_gif_sequence(spark, imgs)
+    got = gif_decode_frames(blob)
+    assert got.shape[0] == 4
+    for i, img in enumerate(imgs):
+        assert np.array_equal(got[i], img), f"frame {i}"
+
+
+def test_gif_encoder_bitstream_vs_jdk(spark):
+    """Our encoder's output is a valid GIF to a second implementation: the
+    JDK reader decodes gif_encode streams to the exact palette lookup,
+    including a >256-LZW-code frame that forces a width bump."""
+    rng = np.random.default_rng(5)
+    # 31x37 = 1147 pixels -> literal codes walk width 5..11 territory
+    palette = rng.integers(0, 256, (17, 3), dtype=np.uint8)
+    idx = rng.integers(0, 17, (31, 37), dtype=np.uint8)
+    blob = gif_encode(37, 31, palette, [{"idx": idx}])
+    assert np.array_equal(_jdk_decode_rgb(spark, blob), palette[idx])
+    assert np.array_equal(gif_decode(blob), palette[idx])
+
+
+def test_gif_animation_truncation_and_dispatch():
+    """Multi-frame honesty: missing trailer raises (never a silently
+    partial animation) while the image path's first-frame early return
+    still stands; reserved disposal raises; gif_anim rides the video
+    frame dispatch with dim validation."""
+    rng = np.random.default_rng(13)
+    w, h = 11, 9
+    palette = rng.integers(0, 256, (6, 3), dtype=np.uint8)
+    frames = [{"idx": rng.integers(0, 6, (h, w), dtype=np.uint8)}
+              for _ in range(3)]
+    blob = gif_encode(w, h, palette, frames)
+    assert gif_decode_frames(blob).shape == (3, h, w, 3)
+
+    # cut the trailer: animation decode raises, first-frame decode works
+    cut = blob[:-1]
+    with pytest.raises(ValueError, match="no trailer"):
+        gif_decode_frames(cut)
+    assert np.array_equal(gif_decode(cut), gif_decode(blob))
+
+    # reserved disposal method is corrupt
+    bad = gif_encode(w, h, palette, [{**frames[0], "disposal": 5}])
+    with pytest.raises(ValueError, match="disposal"):
+        gif_decode_frames(bad)
+
+    from datasketches_pig_spark.videoops.frames import decode_frames
+
+    out = decode_frames(blob, "gif_anim", w, h)
+    assert out.shape == (3, h, w, 3)
+    with pytest.raises(ValueError, match="dim mismatch"):
+        decode_frames(blob, "gif_anim", w + 1, h)
