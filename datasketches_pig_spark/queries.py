@@ -1533,6 +1533,69 @@ SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, CAST(shared_frames AS BIG
 
 
 
+def q_dedup_gif_anim(spark, sf_dir):
+    """Compressed-video near-dup over ANIMATED GIF payloads (r7): same
+    frame plans as the MJPEG gate, but the compressed leg is a real
+    animation — frame 0 full (interlaced on a quarter of the corpus),
+    every later frame a delta bounding-box region with disposal keep
+    (``data/videos.py:synth_gif_video_bytes``) — so recovering a planted
+    (d-2, d) raw↔gif pair proves the GIF89a disposal COMPOSITOR
+    (``imageops/gif.py:gif_decode_frames``) end-to-end through the fused
+    frame-sample Arrow pass and the exact-frame-hash bucket join.
+
+    Oracle: VALUES generated by ``tools/gen_gif_anim_oracle.py`` — fresh
+    scalar GIF parse (big-int LZW, list-of-lists compositor), JDK
+    cross-check on every animated payload's first frame, fresh scalar
+    dHash, brute-force shared-frame counts; the generator refuses to emit
+    on any decoder disagreement.  The VALUES match SQL_DEDUP_MJPEG by
+    construction: identical frame plans and two LOSSLESS codec paths give
+    identical per-frame dHashes.  Reference n/a (LLM-pipeline brief)."""
+    from datasketches_pig_spark.data.videos import (
+        synth_gif_video_bytes,
+        synth_video_frame,
+    )
+    from datasketches_pig_spark.videoops.frames import video_near_pairs
+
+    ids = (
+        _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 120)
+    )
+    return video_near_pairs(
+        synth_video_frame(ids, bytes_fn=synth_gif_video_bytes),
+        stride=1,
+        min_shared_frames=2,
+    ).select("a", "b", F.col("shared_frames").cast("long").alias("shared_frames"))
+
+
+SQL_DEDUP_GIF_ANIM = """
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, CAST(shared_frames AS BIGINT) AS shared_frames FROM (VALUES
+  (2, 4, 5),
+  (7, 9, 4),
+  (12, 14, 4),
+  (17, 19, 4),
+  (22, 24, 4),
+  (27, 29, 3),
+  (32, 34, 6),
+  (37, 39, 4),
+  (42, 44, 4),
+  (47, 49, 4),
+  (52, 54, 4),
+  (57, 59, 3),
+  (62, 64, 6),
+  (67, 69, 4),
+  (72, 74, 4),
+  (77, 79, 4),
+  (82, 84, 4),
+  (87, 89, 3),
+  (92, 94, 6),
+  (97, 99, 4),
+  (102, 104, 4),
+  (107, 109, 4),
+  (112, 114, 5),
+  (117, 119, 3)
+) t(a, b, shared_frames)
+"""
+
+
 def q_dedup_embedding(spark, sf_dir):
     from datasketches_pig_spark.ann.knn import embedding_near_pairs
 
@@ -2484,4 +2547,5 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
         "aod_retained": (q_aod_retained, SQL_AOD_RETAINED),
         "dedup_adpcm_lsh": (q_dedup_adpcm_lsh, SQL_DEDUP_ADPCM_LSH),
         "dedup_mjpeg": (q_dedup_mjpeg, SQL_DEDUP_MJPEG),
+        "dedup_gif_anim": (q_dedup_gif_anim, SQL_DEDUP_GIF_ANIM),
     }

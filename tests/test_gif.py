@@ -307,3 +307,25 @@ def test_gif_animation_truncation_and_dispatch():
     assert out.shape == (3, h, w, 3)
     with pytest.raises(ValueError, match="dim mismatch"):
         decode_frames(blob, "gif_anim", w + 1, h)
+
+
+def test_gif_anim_gate_corpus_roundtrip():
+    """data/videos.py gif corpus contract: the animated leg (delta
+    bounding-box frames, disposal keep, interlaced base on d%4==3)
+    composites back to synth_frames EXACTLY through the engine dispatch,
+    and planted (d-2, d) pairs always mix raw<->gif."""
+    from datasketches_pig_spark.data.videos import (
+        synth_frames,
+        synth_gif_video_bytes,
+    )
+    from datasketches_pig_spark.videoops.frames import decode_frames
+
+    n_gif = 0
+    for d in range(24):
+        blob, codec, w, h = synth_gif_video_bytes(d)
+        got = decode_frames(blob, codec, w, h)
+        assert np.array_equal(got, synth_frames(d)), (d, codec)
+        n_gif += codec == "gif_anim"
+    assert 0 < n_gif < 24
+    for d in range(4, 24, 5):
+        assert synth_gif_video_bytes(d - 2)[1] != synth_gif_video_bytes(d)[1]
