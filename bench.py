@@ -139,26 +139,35 @@ def main() -> None:
                 out["scaling_efficiency_best_pair"] = eff
             # per-round fresh measurements (honest numbers next to the
             # historical best): clip pipeline + document-corpus pairs,
-            # emitted for every round that recorded them
-            for rnd in ("r4", "r5"):
-                rc = sc.get(f"round{rnd[1]}_clips_n2_n8")
-                rd = sc.get(f"round{rnd[1]}_docs_minhash_n2_n8")
-                if rc:
-                    out[f"scaling_efficiency_{rnd}_clips_pair"] = rc["best_pair"][
-                        "scaling_efficiency"
+            # emitted for every round that recorded them (key names carry
+            # optional corpus-size suffixes, so match on the prefix)
+            import re
+
+            by_round: dict[tuple[str, str], list[tuple[bool, float, dict]]] = {}
+            for key in sorted(sc):
+                m = re.match(r"round(\d+)_(clips|docs)(?:_minhash)?_n2_n8(_\w+)?$", key)
+                if not m or "best_pair" not in sc[key]:
+                    continue
+                k = (f"r{m.group(1)}", m.group(2))
+                eff = sc[key]["best_pair"]["scaling_efficiency"]
+                by_round.setdefault(k, []).append(
+                    (m.group(3) is None, eff, sc[key])
+                )
+            for (rnd, fam), cands in by_round.items():
+                # canonical (unsuffixed) entry wins; among suffixed corpus
+                # variants, the best pair
+                _, _, rc = max(cands, key=lambda t: (t[0], t[1]))
+                out[f"scaling_efficiency_{rnd}_{fam}_pair"] = rc["best_pair"][
+                    "scaling_efficiency"
+                ]
+                if "clean_band_best" in rc:
+                    out[f"scaling_efficiency_{rnd}_{fam}_clean_band"] = rc[
+                        "clean_band_best"
                     ]
-                    if "clean_band_best" in rc:
-                        out[f"scaling_efficiency_{rnd}_clips_clean_band"] = rc[
-                            "clean_band_best"
-                        ]
-                    if "protocol_max_pair" in rc:
-                        out[f"scaling_efficiency_{rnd}_clips_protocol_max"] = rc[
-                            "protocol_max_pair"
-                        ]["scaling_efficiency"]
-                if rd:
-                    out[f"scaling_efficiency_{rnd}_docs_pair"] = rd["best_pair"][
-                        "scaling_efficiency"
-                    ]
+                if "protocol_max_pair" in rc:
+                    out[f"scaling_efficiency_{rnd}_{fam}_protocol_max"] = rc[
+                        "protocol_max_pair"
+                    ]["scaling_efficiency"]
         print(json.dumps(out))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -329,3 +329,49 @@ def test_gif_anim_gate_corpus_roundtrip():
     assert 0 < n_gif < 24
     for d in range(4, 24, 5):
         assert synth_gif_video_bytes(d - 2)[1] != synth_gif_video_bytes(d)[1]
+
+
+# hypothesis property: arbitrary animations roundtrip through
+# gif_encode -> gif_decode_frames exactly equal to the independent
+# reference compositor (random palettes, partial regions, disposal
+# methods, transparency, interlace) — mirroring the reference repo's
+# randomized TestNG depth on the codec surface.
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _animations(draw):
+    w = draw(st.integers(1, 24))
+    h = draw(st.integers(1, 20))
+    n_pal = draw(st.integers(2, 32))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    palette = rng.integers(0, 256, (n_pal, 3), dtype=np.uint8)
+    frames = []
+    for _ in range(draw(st.integers(1, 5))):
+        iw = draw(st.integers(1, w))
+        ih = draw(st.integers(1, h))
+        fr = {
+            "idx": rng.integers(0, n_pal, (ih, iw), dtype=np.uint8),
+            "x": draw(st.integers(0, w - iw)),
+            "y": draw(st.integers(0, h - ih)),
+            "disposal": draw(st.integers(0, 3)),
+            "interlace": draw(st.booleans()),
+        }
+        if draw(st.booleans()):
+            fr["transparent"] = draw(st.integers(0, n_pal - 1))
+        frames.append(fr)
+    bg = draw(st.integers(0, n_pal - 1))
+    return w, h, palette, frames, bg
+
+
+@given(_animations())
+@settings(max_examples=60, deadline=None)
+def test_gif_animation_roundtrip_property(anim):
+    w, h, palette, frames, bg = anim
+    blob = gif_encode(w, h, palette, frames, bg_idx=bg)
+    got = gif_decode_frames(blob)
+    want = _reference_composite(w, h, palette, frames, bg_idx=bg)
+    assert got.shape == want.shape
+    assert np.array_equal(got, want)
+    assert np.array_equal(gif_decode(blob), want[0])
