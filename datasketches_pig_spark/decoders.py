@@ -64,8 +64,8 @@ import numpy as np
 BUILTIN_AUDIO = frozenset(
     {"pcm_s16le", "ulaw", "g711_alaw", "g711_ulaw", "adpcm_ima"}
 )
-BUILTIN_IMAGE = frozenset({"rgb8", "ppm", "jpeg", "png"})
-BUILTIN_VIDEO = frozenset({"rawrgb", "mjpeg_avi"})
+BUILTIN_IMAGE = frozenset({"rgb8", "ppm", "jpeg", "png", "gif"})
+BUILTIN_VIDEO = frozenset({"rawrgb", "mjpeg_avi", "gif_anim"})
 
 _AUDIO: dict[str, Callable] = {}
 _IMAGE: dict[str, Callable] = {}

@@ -103,10 +103,14 @@ def test_builtin_tags_are_refused():
     for tag in ("pcm_s16le", "adpcm_ima", "g711_alaw"):
         with pytest.raises(ValueError, match="built-in"):
             reg.register_audio_decoder(tag, fake_mp3_decode)
-    with pytest.raises(ValueError, match="built-in"):
-        reg.register_image_decoder("jpeg", fake_h264_decode)
-    with pytest.raises(ValueError, match="built-in"):
-        reg.register_video_decoder("mjpeg_avi", fake_h264_decode)
+    # gif/gif_anim decode natively (r6/r7) — a registration for them would
+    # be silently dead code (native dispatch wins), so it must refuse
+    for tag in ("jpeg", "gif"):
+        with pytest.raises(ValueError, match="built-in"):
+            reg.register_image_decoder(tag, fake_h264_decode)
+    for tag in ("mjpeg_avi", "gif_anim"):
+        with pytest.raises(ValueError, match="built-in"):
+            reg.register_video_decoder(tag, fake_h264_decode)
     with pytest.raises(TypeError):
         reg.register_audio_decoder("mp3", "not-callable")
 
