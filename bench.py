@@ -145,13 +145,18 @@ def main() -> None:
 
             by_round: dict[tuple[str, str], list[tuple[bool, float, dict]]] = {}
             for key in sorted(sc):
-                m = re.match(r"round(\d+)_(clips|docs)(?:_minhash)?_n2_n8(_\w+)?$", key)
+                m = re.match(
+                    r"round(\d+)_(clips|docs)(?:_minhash)?_n(\d+)_n(\d+)(_\w+)?$", key
+                )
                 if not m or "best_pair" not in sc[key]:
                     continue
-                k = (f"r{m.group(1)}", m.group(2))
+                fam = m.group(2)
+                if (m.group(3), m.group(4)) != ("2", "8"):
+                    fam += f"_n{m.group(3)}_n{m.group(4)}"
+                k = (f"r{m.group(1)}", fam)
                 eff = sc[key]["best_pair"]["scaling_efficiency"]
                 by_round.setdefault(k, []).append(
-                    (m.group(3) is None, eff, sc[key])
+                    (m.group(5) is None, eff, sc[key])
                 )
             for (rnd, fam), cands in by_round.items():
                 # canonical (unsuffixed) entry wins; among suffixed corpus
