@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -162,6 +163,14 @@ def run_docs(in_dir: str, cores: int) -> None:
 
 def docs_(n_docs: int) -> None:
     d = tempfile.mkdtemp(prefix="dsps_scaling_docs_")
+    try:
+        _docs_inner(d, n_docs)
+    finally:
+        # multi-GB corpus on the shared disk — never leave it behind
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _docs_inner(d: str, n_docs: int) -> None:
     me = str(REPO / "tools" / "scaling_bench.py")
 
     def sub(args: list[str], cpus: int | None = None) -> dict:
@@ -202,6 +211,14 @@ def docs_(n_docs: int) -> None:
 
 def all_(n_groups: int) -> None:
     d = tempfile.mkdtemp(prefix="dsps_scaling_")
+    try:
+        _all_inner(d, n_groups)
+    finally:
+        # 4+ GB corpus on the shared disk — never leave it behind
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _all_inner(d: str, n_groups: int) -> None:
     me = str(REPO / "tools" / "scaling_bench.py")
 
     def sub(args: list[str], cpus: int | None = None) -> dict:
