@@ -264,23 +264,26 @@ def embedding_near_pairs(
         )
         pairs = ca.join(cb, F.col("a") < F.col("b"))
     elif method == "rhp":
-        from datasketches_pig_spark.operators.lsh import bucket_pairs
-        from datasketches_pig_spark.textops.dedup import _simhash_combo_keys
+        from datasketches_pig_spark.operators.lsh import (
+            bucket_pairs,
+            release_shard_caches,
+        )
+        from datasketches_pig_spark.textops.dedup import simhash_combo_key_array
 
         if dim is None:
             dim = len(corpus.select(vec_col).first()[0])
+        release_shard_caches()  # previous operator's expansion cache, if any
         planes = make_hyperplanes(dim, n_bits=64, seed=seed)
         sigs = rhp_signature_df(corpus, id_col, vec_col, planes).localCheckpoint()
+        # combo keys as ONE transform expression (not C(h+3,3) codegen'd
+        # trees); candidates stay lazy — single consumer is the verify join
         keys = sigs.select(
             "id",
-            F.explode(
-                F.array(*_simhash_combo_keys(F.col("rhp_sig"), max_hamming))
-            ).alias("ckey"),
+            F.explode(simhash_combo_key_array(F.col("rhp_sig"), max_hamming)).alias(
+                "ckey"
+            ),
         )
-        from datasketches_pig_spark.operators.lsh import release_shard_caches
-
-        cand = bucket_pairs(keys, "ckey", "id", cap=bucket_cap).distinct().localCheckpoint()
-        release_shard_caches()  # cand materialized; drop the shard cache
+        cand = bucket_pairs(keys, "ckey", "id", cap=bucket_cap).distinct()
         ca = c.select(
             F.col("id").alias("a"), F.col("vec").alias("va"), F.col("nrm").alias("na")
         )

@@ -25,6 +25,64 @@ from datasketches_pig_spark.functions.murmur3 import (
 
 SIGN_FLIP = np.uint64(1) << np.uint64(63)
 
+_C1 = -8663945395140668459  # 0x87c37b91114253d5 as signed int64
+_C2 = 5545529020109919103  # 0x4cf5ad432745937f
+_FMIX1 = -49064778989728563  # 0xff51afd7ed558ccd
+_FMIX2 = -4265267296055464877  # 0xc4ceb9fe1a85ec53
+
+
+def _s64(x: int) -> int:
+    """Wrap an unsigned 64-bit int into the signed int64 literal range."""
+    x &= (1 << 64) - 1
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def _rotl(col: Column, r: int) -> Column:
+    return F.shiftleft(col, r).bitwiseOR(F.shiftrightunsigned(col, 64 - r))
+
+
+def _fmix64(col: Column) -> Column:
+    h = col.bitwiseXOR(F.shiftrightunsigned(col, 33))
+    h = h * F.lit(_FMIX1)
+    h = h.bitwiseXOR(F.shiftrightunsigned(h, 33))
+    h = h * F.lit(_FMIX2)
+    return h.bitwiseXOR(F.shiftrightunsigned(h, 33))
+
+
+def murmur3_h1_long_expr(col: Column, seed: int = 9001, ordered: bool = False) -> Column:
+    """First 64 bits of MurmurHash3_x64_128 of an int64 value (8-byte
+    little-endian encoding, the datasketches update(long) form) as PURE
+    whole-stage-codegen column algebra — bit-identical to
+    ``murmur3.murmur3_long_batch`` (parity test
+    ``tests/test_murmur3.py::test_jvm_long_expr_parity``) with no
+    Python boundary (guide §4.1: prefer built-ins over UDFs).
+
+    Java long arithmetic wraps mod 2^64 exactly like the C/numpy uint64
+    kernels; requires ``spark.sql.ansi.enabled=false`` (set by
+    ``session.get_spark``), otherwise a wrapping multiply raises.  With
+    ``ordered=True`` the sign bit is flipped so signed ordering equals
+    unsigned hash ordering (the KMV/theta storage form).  Null in → null
+    out (the reference's null-datum no-op rule; empty input cannot occur
+    for a fixed 8-byte value)."""
+    v = col.cast("long")
+    # 8-byte input: no 16-byte body blocks, tail k1 = the value itself
+    k1 = v * F.lit(_C1)
+    k1 = _rotl(k1, 31)
+    k1 = k1 * F.lit(_C2)
+    h1 = F.lit(_s64(seed)).bitwiseXOR(k1)
+    h2 = F.lit(_s64(seed))
+    ln = F.lit(8)
+    h1 = h1.bitwiseXOR(ln)
+    h2 = h2.bitwiseXOR(ln)
+    h1 = h1 + h2
+    h2 = h2 + h1
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    out = h1 + h2  # final h1 += h2 (h2 += h1 only affects the unused h2)
+    if ordered:
+        out = out.bitwiseXOR(F.lit(_s64(1 << 63)))
+    return out
+
 
 def _hash_series(s: pd.Series, seed: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Hash a pandas Series by dtype: int64 → 8-byte LE; everything else via

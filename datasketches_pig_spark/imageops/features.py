@@ -59,23 +59,41 @@ def image_near_pairs(
     """Near-duplicate image pairs via dHash + the Manku banded join
     (identical machinery to ``textops.dedup.simhash_near_pairs``): complete
     for Hamming ≤ max_hamming while no band bucket exceeds the cap, JVM-side
-    ``bit_count(xor)`` verify."""
-    from datasketches_pig_spark.operators.lsh import bucket_pairs
-    from datasketches_pig_spark.textops.dedup import _simhash_combo_keys
+    ``bit_count(xor)`` verify.
 
+    r8 shape: the C(h+3,3) combo keys are ONE ``transform`` expression
+    (``simhash_combo_key_array`` — not 35 codegen'd trees at h=4); the
+    candidate frame stays LAZY (its single consumer is the final join, so
+    the former distinct+localCheckpoint barrier bought nothing — shard
+    caches are released at operator start instead, the residue rule
+    ``operators/lsh.py`` documents); expansion exchanges are size-derived
+    from the materialized signature count (``derived_shuffle_partitions``)."""
+    from datasketches_pig_spark.operators.lsh import (
+        bucket_pairs,
+        derived_shuffle_partitions,
+        release_shard_caches,
+    )
+    from datasketches_pig_spark.textops.dedup import simhash_combo_key_array
+
+    release_shard_caches()  # previous operator's expansion cache, if any
     sigs = image_feature_stage(images).select(
         F.col("image_id").alias("id"), F.col("dhash").alias("simhash")
     ).localCheckpoint()
+    import math
+
+    n_keys = sigs.count() * math.comb(max_hamming + 3, 3)
+    parts = derived_shuffle_partitions(images.sparkSession, n_keys)
     chunks = sigs.select(
         "id",
-        F.explode(
-            F.array(*_simhash_combo_keys(F.col("simhash"), max_hamming))
-        ).alias("ckey"),
+        F.explode(simhash_combo_key_array(F.col("simhash"), max_hamming)).alias(
+            "ckey"
+        ),
     )
-    from datasketches_pig_spark.operators.lsh import release_shard_caches
-
-    cand = bucket_pairs(chunks, "ckey", "id", cap=bucket_cap).distinct().localCheckpoint()
-    release_shard_caches()  # cand materialized; drop the shard cache
+    cand = (
+        bucket_pairs(chunks, "ckey", "id", cap=bucket_cap, num_partitions=parts)
+        .repartition(parts, "a", "b")
+        .distinct()
+    )
     sa = sigs.select(F.col("id").alias("a"), F.col("simhash").alias("ha"))
     sb = sigs.select(F.col("id").alias("b"), F.col("simhash").alias("hb"))
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))

@@ -104,8 +104,29 @@ def _pairs_expr(m: Column, bucket_n: Column, cap: int, all_pairs_small: bool) ->
     return _star_pairs(m)
 
 
+def derived_shuffle_partitions(
+    spark, n_rows: int, rows_per_task: int = 500, floor: int = 8
+) -> int:
+    """Scale-adaptive partition count for the expansion shuffles (guide §2:
+    derive partitioning from input size, not a constant tuned to one
+    scale).  Capped at the session's configured shuffle partitions, so at
+    production row counts the behavior is exactly the configured one; a
+    bounded gate corpus (a few hundred ids → a few thousand band rows) gets
+    a handful of tasks instead of 2×cores waves of near-empty ones
+    (measured on the 150-image JPEG gate: 1.9-2.4 s vs 2.3-3.0 s warm)."""
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    import math
+
+    return max(min(cap, math.ceil(n_rows / rows_per_task)), min(floor, cap))
+
+
 def _salted_pairs(
-    keyed: DataFrame, key: str, cap: int, all_pairs_small: bool, adaptive: bool = False
+    keyed: DataFrame,
+    key: str,
+    cap: int,
+    all_pairs_small: bool,
+    adaptive: bool = False,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """(key, clip_id) rows → (a, b) pairs with per-reducer state bounded by
     salting.  ``all_pairs_small``: emit all-pairs for buckets ≤ cap (LSH
@@ -146,6 +167,14 @@ def _salted_pairs(
     salted = keyed.withColumn(
         "__salt", F.pmod(F.xxhash64("clip_id"), F.lit(SALT_SHARDS))
     )
+    # num_partitions (callers with a bounded, already-counted input): pin
+    # the expansion's two aggregation exchanges to a size-derived partition
+    # count IN THE PLAN (repartition on the exact grouping keys — the agg
+    # reuses the exchange, so this substitutes, not adds, an exchange).
+    # Conf-based scoping would not survive lazy execution of the returned
+    # frame; this does.
+    if num_partitions is not None:
+        salted = salted.repartition(num_partitions, key, "__salt")
     # level-1 lists stay unsorted — only the bounded level-2 arrays are
     # sorted; the shard star needs just the min element.  persist(): two
     # consumers below (shard stars + level-2 summaries) must not re-run the
@@ -171,6 +200,8 @@ def _salted_pairs(
     )
 
     # level-2: per-bucket totals; state ≤ SALT_SHARDS × (cap + 1) members
+    if num_partitions is not None:
+        summaries = summaries.repartition(num_partitions, key)
     buckets = summaries.groupBy(key).agg(
         F.array_sort(F.flatten(F.collect_list("m"))).alias("members"),
         F.sum("sz").alias("bucket_n"),
@@ -190,12 +221,17 @@ def bucket_pairs(
     cap: int,
     all_pairs_small: bool = True,
     adaptive: bool = False,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Public form of the salted bucket-pair expansion for any (key, id)
     frame — used by the document-dedup operators too.  Returns (a, b) with
-    a < b, not distinct."""
+    a < b, not distinct.  ``num_partitions``: size-derived exchange width
+    for bounded inputs (see ``derived_shuffle_partitions``); None keeps the
+    session's shuffle-partition conf."""
     renamed = keyed.select(F.col(key), F.col(id_col).alias("clip_id"))
-    out = _salted_pairs(renamed, key, cap, all_pairs_small, adaptive)
+    out = _salted_pairs(
+        renamed, key, cap, all_pairs_small, adaptive, num_partitions=num_partitions
+    )
     return out
 
 

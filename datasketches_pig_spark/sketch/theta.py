@@ -20,9 +20,13 @@ array_except over sketch columns, re-trimmed to bottom-k.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import Column, DataFrame, Window
 
-from datasketches_pig_spark.functions.spark_udfs import murmur3_h1_ordered
+from datasketches_pig_spark.functions.spark_udfs import (
+    murmur3_h1_long_expr,
+    murmur3_h1_ordered,
+)
 
 DEFAULT_K = 4096  # reference default nominal entries (dictionary.html:42-44)
 _N_SALTS = 32  # two-level bottom-k fan-out; merge state <= _N_SALTS * k per group
@@ -33,21 +37,37 @@ _TWO64 = 2.0**64
 def _two_level_bottom_k(
     hashed: DataFrame, group_cols: list[str], k: int, n_salts: int = _N_SALTS
 ) -> DataFrame:
-    """Bounded-state bottom-k: the Algebraic initial/final split of
-    ``theta/DataToSketch.java:289-302`` expressed relationally.
+    """Bounded-state bottom-k over a NOT-necessarily-distinct hash stream:
+    the Algebraic initial/final split of ``theta/DataToSketch.java:289-302``
+    expressed relationally.
 
-    Level 1 computes bottom-k per (group, salt) — the window sort is a
-    spillable external sort spread over ``n_salts`` tasks per group, so a
-    group with 10^9 distinct hashes is never a single-task sort.  Level 2
-    merges at most ``n_salts`` k-arrays per group (state <= n_salts * k
-    int64s, ~1 MB at k=4096/salts=32).  Input must already be deduped on
-    (group_cols, __h); salting by a hash of __h keeps partials disjoint.
+    Level 1 computes the k smallest DISTINCT hashes per (group, salt) in a
+    single window pass — ``dense_rank <= k`` bounds to the k smallest
+    distinct values and the ``lag != __h`` atom keeps one row per value
+    (both functions share one window spec, so this is ONE exchange + one
+    spillable external sort; r8 replaced the former dropDuplicates +
+    row_number shape, which shuffled the stream twice, with this single
+    exchange — same result, one fewer shuffle of the full hash stream).
+    The sort is spread over ``n_salts`` tasks per group, so a group with
+    10^9 distinct hashes is never a single-task sort; duplicates of one
+    value always share a salt (salt hashes __h), keeping partials disjoint.
+    Level 2 merges at most ``n_salts`` k-arrays per group (state <=
+    n_salts * k int64s, ~1 MB at k=4096/salts=32).
     """
     salted = hashed.withColumn("__salt", F.pmod(F.xxhash64("__h"), F.lit(n_salts)))
     w = Window.partitionBy(*group_cols, "__salt").orderBy("__h")
     partial = (
-        salted.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
+        salted.select(
+            *group_cols,
+            "__salt",
+            "__h",
+            F.dense_rank().over(w).alias("__rk"),
+            F.lag("__h").over(w).alias("__prev"),
+        )
+        .filter(
+            (F.col("__rk") <= k)
+            & (F.col("__prev").isNull() | (F.col("__prev") != F.col("__h")))
+        )
         .groupBy(*group_cols, "__salt")
         .agg(F.array_sort(F.collect_list("__h")).alias("__p"))
     )
@@ -74,9 +94,10 @@ def theta_sketch_agg(
 ) -> DataFrame:
     """Build a KMV sketch per group: group_cols + ``sketch array<long>``.
 
-    Scale shape: dropDuplicates is a partial-agg-friendly shuffle on
-    (groups, hash); bottom-k then runs as a salted two-level aggregation so
-    no task ever sorts a whole group (see ``_two_level_bottom_k``).
+    Scale shape: the raw hash stream shuffles ONCE, straight into the
+    salted two-level bottom-k (dedup + rank in a single window pass per
+    (group, salt) shard — see ``_two_level_bottom_k``), so no task ever
+    sorts a whole group and no second full-stream exchange exists.
 
     ``p``: the reference ctor's up-front sampling probability
     (``theta/DataToSketch.java:129-135`` — validated at construction like
@@ -95,9 +116,22 @@ def theta_sketch_agg(
             f"theta sampling probability p must be in (0, 1], got {p} "
             "(reference contract: theta/DataToSketch.java:129-135)"
         )
-    hashed = df.select(
-        *group_cols, murmur3_h1_ordered(F.col(value_col), seed).alias("__h")
-    ).dropna(subset=["__h"]).dropDuplicates([*group_cols, "__h"])
+    dtype = df.schema[value_col].dataType
+    if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        # integral values hash as their 8-byte LE representation — pure
+        # whole-stage-codegen JVM algebra, no Python boundary (guide §4.1;
+        # bit-identical to the pandas kernel, parity-tested).  The isNotNull
+        # prefilter replaces the former dropna on the UDF output: it pushes
+        # to the scan (PushedFilters) instead of duplicating hash evaluation
+        # around a post-hoc filter (guide §4.4's duplicated-UDF pattern).
+        hashed = df.where(F.col(value_col).isNotNull()).select(
+            *group_cols,
+            murmur3_h1_long_expr(F.col(value_col), seed, ordered=True).alias("__h"),
+        )
+    else:
+        hashed = df.select(
+            *group_cols, murmur3_h1_ordered(F.col(value_col), seed).alias("__h")
+        ).dropna(subset=["__h"])
     if p < 1.0:
         hashed = hashed.filter(F.col("__h") < F.lit(sampling_threshold_ordered(p)))
     return _two_level_bottom_k(hashed, group_cols, k)
@@ -187,9 +221,7 @@ def theta_union_agg(df: DataFrame, group_cols: list[str], sketch_col: str, k: in
     """Merge many sketches per group (rollup): explode → distinct → bottom-k.
     This is the Algebraic final-fold analog; Catalyst runs it as partial/final
     hash aggregation over the exploded hashes."""
-    exploded = df.select(*group_cols, F.explode(sketch_col).alias("__h")).dropDuplicates(
-        [*group_cols, "__h"]
-    )
+    exploded = df.select(*group_cols, F.explode(sketch_col).alias("__h"))
     return _two_level_bottom_k(exploded, group_cols, k)
 
 

@@ -645,6 +645,60 @@ def _simhash_combo_keys(sim_col, max_hamming: int = 3):
     return keys
 
 
+def simhash_combo_key_array(sim_col, max_hamming: int = 3):
+    """The C(h+3,3) Manku combo keys as ONE ``transform`` over a literal
+    array of bit-packed combo specs — a single small expression tree whose
+    lambda codegen-compiles once, instead of C(h+3,3) separate shift/mask
+    expression trees (at h=4 that is 35 trees, a measurable per-session
+    whole-stage-codegen compile tax — CLAUDE.md landmine #10; key VALUES are
+    identical to ``_simhash_combo_keys``/``simhash_combo_keys_np``,
+    parity-tested in tests/test_signatures.py).
+
+    Packing per combo (one int64): block offsets o1..o3 (6 bits each),
+    block widths w1..w3 (5 bits each), accumulated shifts s2, s3 (6 bits
+    each); the combo index comes from the transform lambda's position
+    argument."""
+    from itertools import combinations
+
+    bits, offs = _simhash_blocks(max_hamming)
+    key_bits = 3 * max(bits)
+    packed = []
+    for b1, b2, b3 in combinations(range(len(bits)), 3):
+        packed.append(
+            offs[b1]
+            | offs[b2] << 6
+            | offs[b3] << 12
+            | bits[b1] << 18
+            | bits[b2] << 23
+            | bits[b3] << 28
+            | bits[b1] << 33
+            | (bits[b1] + bits[b2]) << 39
+        )
+
+    def _field(c, shift, width):
+        return F.shiftright(c, shift).bitwiseAND(F.lit((1 << width) - 1)).cast("int")
+
+    def _blk(c, off_sh, w_sh):
+        o = _field(c, off_sh, 6)
+        w = _field(c, w_sh, 5)
+        mask = F.call_function("shiftleft", F.lit(1).cast("long"), w) - F.lit(1).cast(
+            "long"
+        )
+        return F.call_function("shiftright", sim_col, o).bitwiseAND(mask)
+
+    def _key(c, i):
+        s2 = _field(c, 33, 6)
+        s3 = _field(c, 39, 6)
+        key = (
+            _blk(c, 0, 18)
+            + F.call_function("shiftleft", _blk(c, 6, 23), s2)
+            + F.call_function("shiftleft", _blk(c, 12, 28), s3)
+        )
+        return key + F.shiftleft(i.cast("long"), key_bits + 1)
+
+    return F.transform(F.array(*[F.lit(p).cast("long") for p in packed]), _key)
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str,
@@ -698,6 +752,9 @@ def simhash_near_pairs(
                 }
             )
 
+    from datasketches_pig_spark.operators.lsh import release_shard_caches
+
+    release_shard_caches()  # previous operator's expansion cache, if any
     sigs = (
         df.select(id_col, text_col)
         .mapInPandas(
@@ -706,13 +763,13 @@ def simhash_near_pairs(
         .filter(F.col("n_shingles") > 0)
         .localCheckpoint()
     )
-    from datasketches_pig_spark.operators.lsh import release_shard_caches
-
     chunks = sigs.select("id", F.explode("ckeys").alias("ckey"))
-    # candidates are post-distinct (bounded) — materialize them so the
-    # salted expansion's internal shard cache can be released immediately
-    cand = bucket_pairs(chunks, "ckey", "id", cap=bucket_cap).distinct().localCheckpoint()
-    release_shard_caches()
+    # candidates stay LAZY (r8): their single consumer is the verify join
+    # below, so the former distinct+localCheckpoint barrier added a job and
+    # a materialization for nothing; the shard cache persists until the
+    # next operator's release-at-start (the residue rule operators/lsh.py
+    # documents)
+    cand = bucket_pairs(chunks, "ckey", "id", cap=bucket_cap).distinct()
     sa = sigs.select(F.col("id").alias("a"), F.col("simhash").alias("sim_a"))
     sb = sigs.select(F.col("id").alias("b"), F.col("simhash").alias("sim_b"))
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))

@@ -173,8 +173,15 @@ def test_shard_caches_released_after_dedup_query(spark):
 
     minhash_dedup_pairs(docs, "doc_id", "text", 3, 0.5).collect()
     assert not _SHARD_CACHES, "minhash left shard caches registered"
+    # r8 residue rule: operators whose candidate frame stays lazy (simhash,
+    # image/audio near-pairs) release the PREVIOUS operator's caches at
+    # their own start, so a session carries at most the last query's shard
+    # caches — bounded residue, not a leak (operators/lsh.py docstring)
     simhash_near_pairs(docs, "doc_id", "text", 3, max_hamming=6).collect()
-    assert not _SHARD_CACHES, "simhash left shard caches registered"
-    # nothing left for the explicit hygiene call to release (localCheckpoint
-    # RDDs of still-referenced frames are a different, GC-managed, pool)
+    assert len(_SHARD_CACHES) <= 1, "more than the last query's caches left"
+    simhash_near_pairs(docs, "doc_id", "text", 3, max_hamming=6).collect()
+    assert len(_SHARD_CACHES) <= 1, "release-at-start did not bound residue"
+    # the explicit hygiene call clears the bounded residue
+    release_shard_caches()
+    assert not _SHARD_CACHES
     assert release_shard_caches() == 0

@@ -225,3 +225,69 @@ def test_register_sql_functions_no_divisor_and_validation(spark):
         register_sql_functions(spark, prefix="bad_", divisor=0)
     with pytest.raises(ValueError, match="divisor"):
         murmur3_128("s", divisor=2**40)
+
+
+def test_jvm_long_expr_parity(spark):
+    """murmur3_h1_long_expr (pure whole-stage-codegen JVM algebra) must be
+    bit-identical to the numpy kernel for int64 inputs, in both plain and
+    sign-flipped (ordered) forms, including nulls and the extremes."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from datasketches_pig_spark.functions.murmur3 import murmur3_long_batch
+    from datasketches_pig_spark.functions.spark_udfs import (
+        SIGN_FLIP,
+        murmur3_h1_long_expr,
+    )
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate(
+        [
+            rng.integers(-(2**63), 2**63, size=500, dtype=np.int64),
+            np.array([0, 1, -1, 2**63 - 1, -(2**63)], dtype=np.int64),
+        ]
+    )
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    got = df.select(
+        murmur3_h1_long_expr(F.col("v"), 9001).alias("h"),
+        murmur3_h1_long_expr(F.col("v"), 9001, ordered=True).alias("ho"),
+        murmur3_h1_long_expr(F.col("v"), 42).alias("h42"),
+    ).toPandas()
+    exp1, _ = murmur3_long_batch(vals, 9001)
+    exp42, _ = murmur3_long_batch(vals, 42)
+    assert np.array_equal(got["h"].to_numpy(np.int64).view(np.uint64), exp1)
+    assert np.array_equal(
+        got["ho"].to_numpy(np.int64).view(np.uint64), exp1 ^ SIGN_FLIP
+    )
+    assert np.array_equal(got["h42"].to_numpy(np.int64).view(np.uint64), exp42)
+    # null in → null out
+    pdf = pd.DataFrame({"v": pd.array([1, None], dtype="Int64")})
+    nulls = (
+        spark.createDataFrame(pdf)
+        .select(murmur3_h1_long_expr(F.col("v"), 9001).alias("h"))
+        .collect()
+    )
+    assert nulls[0]["h"] is not None and nulls[1]["h"] is None
+
+
+def test_two_level_bottom_k_single_window_parity(spark):
+    """The r8 single-exchange bottom-k (dense_rank + lag dedup in one window
+    pass) must equal a brute-force distinct-sort-slice per group, on a
+    duplicate-heavy stream."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from datasketches_pig_spark.sketch.theta import _two_level_bottom_k
+
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 3, size=5000)
+    h = rng.integers(-1000, 1000, size=5000).astype(np.int64)  # heavy dups
+    df = spark.createDataFrame(pd.DataFrame({"g": g, "__h": h}))
+    k = 50
+    got = {
+        r["g"]: list(r["sketch"])
+        for r in _two_level_bottom_k(df, ["g"], k).collect()
+    }
+    for gv in np.unique(g):
+        exp = sorted(set(h[g == gv]))[:k]
+        assert got[int(gv)] == exp
