@@ -328,10 +328,20 @@ def merge_bucket_summaries(old: DataFrame, new: DataFrame, cap: int) -> DataFram
     )
 
 
-def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
+def candidate_pairs(
+    bands: DataFrame, cfg: DedupConfig, num_partitions: int | None = None
+) -> DataFrame:
     """(clip_id, band_key) → candidate (a, b) pairs with a < b (NOT distinct:
-    the caller unions exact-dup pairs and dedupes once)."""
-    return _salted_pairs(bands, "band_key", cfg.max_bucket_size, all_pairs_small=True)
+    the caller unions exact-dup pairs and dedupes once).  ``num_partitions``:
+    size-derived exchange width (``derived_shuffle_partitions``) from a
+    caller that knows the band-row count; None keeps the session conf."""
+    return _salted_pairs(
+        bands,
+        "band_key",
+        cfg.max_bucket_size,
+        all_pairs_small=True,
+        num_partitions=num_partitions,
+    )
 
 
 def exact_dup_pairs(signatures: DataFrame) -> DataFrame:

@@ -282,7 +282,7 @@ def prefix_hit_thresholds(
 
 
 def _score_full(
-    slim_pairs: DataFrame, signatures: DataFrame, kmv_k: int
+    slim_pairs: DataFrame, signatures: DataFrame, kmv_k: int, bcast: bool = False
 ) -> DataFrame:
     """(a, b, hammings) pairs ⋈ FULL KMV sketches → Arrow-scored estimates.
 
@@ -312,6 +312,8 @@ def _score_full(
             )
 
     kmv = signatures.select("clip_id", "text_kmv", "audio_kmv")
+    if bcast:
+        kmv = F.broadcast(kmv)
     ka = kmv.select(
         F.col("clip_id").alias("a"),
         F.col("text_kmv").alias("a_text_kmv"),
@@ -473,11 +475,21 @@ def verify_pairs(
     signatures: DataFrame,
     cfg: DedupConfig,
     transcripts: DataFrame | None = None,
+    n_signatures: int | None = None,
 ) -> DataFrame:
     """candidate (a, b) pairs + signatures → verified pairs with scores.
 
     ``transcripts`` is any frame with (clip_id, transcript) — normally the
     source clips table (column-pruned scan); only the borderline rows join it.
+
+    ``n_signatures`` (optional): the signature-table row count, when the
+    caller already knows it (the pipeline does — its signatures stage is
+    counted at checkpoint).  When the full-sketch side provably fits the
+    broadcast budget (rows × ~2·kmv_k·8 B ≤ 48 MB) the per-pair joins take
+    broadcast-hash form — the pair stream is never exchanged at all (guide
+    §3.1); localCheckpoint frames carry no size statistics, so without the
+    hint Spark sort-merges these joins even when one side is a few MB.
+    None (or a too-big count) keeps the statistics-driven planning.
 
     Data-volume design (the 100 TB concern), three tiers of payload:
 
@@ -550,6 +562,17 @@ def verify_pairs(
             dup_col.alias("is_dup"),
         )
 
+    # broadcast gate: the heaviest broadcastable side is the full-KMV frame
+    # (~2·kmv_k·8 B + overhead per row); if that fits, every signature-side
+    # join frame (slim, prefix, full) fits a fortiori
+    bcast = (
+        n_signatures is not None
+        and n_signatures * (2 * kmv_k * 8 + 128) <= 48 * 1024 * 1024
+    )
+
+    def _sig_side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast else df
+
     # the slim prefilter columns: exact-key equality, SimHash Hamming and
     # 8-byte sketch digests — tens of bytes/pair of whole-stage codegen
     slim_cols = ["clip_id", "exact_key", "text_simhash", "audio_simhash"]
@@ -583,7 +606,7 @@ def verify_pairs(
         | (F.col("audio_hamming") <= PREFILTER_HAMMING)
     )
 
-    slim = signatures.select(*slim_cols, *digest_cols)
+    slim = _sig_side(signatures.select(*slim_cols, *digest_cols))
     all_slim = slim_cols + ["text_kmv_h", "audio_kmv_h"]
     sa = slim.select(*[F.col(c).alias(f"a_{c}") for c in all_slim])
     sb = slim.select(*[F.col(c).alias(f"b_{c}") for c in all_slim])
@@ -599,6 +622,7 @@ def verify_pairs(
             joined.filter(needs).select("a", "b", "text_hamming", "audio_hamming"),
             signatures,
             kmv_k,
+            bcast=bcast,
         )
         plain_scored, border_scored = _finish_scored(
             scored, signatures, transcripts, near, weak, text_thr,
@@ -639,10 +663,12 @@ def verify_pairs(
     tables = prefix_hit_thresholds(
         prefix, PREFIX_DELTA, (near, weak, text_thr, 0.6)
     )
-    kp = signatures.select(
-        "clip_id",
-        _flipped_prefix("text_kmv", prefix).alias("text_p"),
-        _flipped_prefix("audio_kmv", prefix).alias("audio_p"),
+    kp = _sig_side(
+        signatures.select(
+            "clip_id",
+            _flipped_prefix("text_kmv", prefix).alias("text_p"),
+            _flipped_prefix("audio_kmv", prefix).alias("audio_p"),
+        )
     )
     kap = kp.select(
         F.col("clip_id").alias("a"),
@@ -737,7 +763,7 @@ def verify_pairs(
     borderline = prefix_scored.filter(
         ~F.col("t1_accept") & ~F.col("t1_reject")
     ).select("a", "b", "text_hamming", "audio_hamming")
-    scored = _score_full(borderline, signatures, kmv_k)
+    scored = _score_full(borderline, signatures, kmv_k, bcast=bcast)
     plain_scored, border_scored = _finish_scored(
         scored, signatures, transcripts, near, weak, text_thr,
         max_verify_chars=cfg.max_verify_chars,

@@ -111,7 +111,11 @@ def _replay_events(
     # would hide the log writes but is incompatible with availableNow.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_nodata = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    # r8: 2 → 1 state partition — the op has a handful of keys and every
+    # micro-batch pays a state-store load/commit per partition; one store
+    # halves that fixed cost and changes nothing about statefulness (state
+    # still crosses every batch boundary)
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         query = (

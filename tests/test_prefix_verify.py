@@ -129,9 +129,9 @@ def test_prefix_tier2_is_minority(spark, parity_corpus):
     captured = {}
     orig = V._score_full
 
-    def spy(slim_pairs, signatures, kmv_k):
+    def spy(slim_pairs, signatures, kmv_k, bcast=False):
         captured["tier2"] = slim_pairs.count()
-        return orig(slim_pairs, signatures, kmv_k)
+        return orig(slim_pairs, signatures, kmv_k, bcast=bcast)
 
     V._score_full = spy
     try:
@@ -163,9 +163,9 @@ def test_prefix_size_gate_picks_single_tier_on_small_input(spark, parity_corpus)
     captured = {}
     orig = V._score_full
 
-    def spy(slim_pairs, signatures, kmv_k):
+    def spy(slim_pairs, signatures, kmv_k, bcast=False):
         captured["tier2"] = slim_pairs.count()
-        return orig(slim_pairs, signatures, kmv_k)
+        return orig(slim_pairs, signatures, kmv_k, bcast=bcast)
 
     V._score_full = spy
     try:
