@@ -49,14 +49,20 @@ from datasketches_pig_spark.operators.verify import verify_pairs
 
 
 def all_bands(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """text ∪ audio ∪ exact-key band rows — the pipeline's band layout."""
-    return (
-        bands_stage(signatures, cfg, "text")
-        .unionByName(bands_stage(signatures, cfg, "audio"))
-        .unionByName(
-            signatures.select("clip_id", F.col("exact_key").alias("band_key"))
-        )
+    """text ∪ audio ∪ exact-key band rows — the pipeline's band layout.
+
+    r8: ONE projection + ONE explode over a concatenated array instead of a
+    3-branch union (2 explodes + a select) — same rows, one scan of the
+    signature table and a third of the codegen.  Zero-shingle modalities
+    contribute no band rows (the degenerate-bucket rule ``bands_stage``
+    documents); the exact key always rides."""
+    empty = F.array().cast("array<long>")
+    combined = F.concat(
+        F.when(F.col("n_text_shingles") > 0, F.col("text_bands")).otherwise(empty),
+        F.when(F.col("n_audio_shingles") > 0, F.col("audio_bands")).otherwise(empty),
+        F.array(F.col("exact_key")),
     )
+    return signatures.select("clip_id", F.explode(combined).alias("band_key"))
 
 
 def save_history(

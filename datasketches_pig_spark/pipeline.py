@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from datasketches_pig_spark.config import DedupConfig
 from datasketches_pig_spark.operators.lsh import candidate_pairs
-from datasketches_pig_spark.operators.stages import bands_stage, signature_stage
+from datasketches_pig_spark.operators.stages import signature_stage
 from datasketches_pig_spark.operators.unionfind import connected_components
 from datasketches_pig_spark.operators.verify import verify_pairs
 
@@ -179,14 +179,14 @@ def run_pipeline(
     # nothing to protect and the stage stays lazy (one fewer barrier + count
     # pass).  With a store it still materializes for resume granularity.
     # exact_key is one more band row per clip — NOT filtered on shingle
-    # counts, so byte-identical silent/empty clips still pair up
+    # counts, so byte-identical silent/empty clips still pair up.  r8: one
+    # fused explode (incremental.all_bands) instead of a 3-branch union —
+    # one signature scan, a third of the codegen.
+    from datasketches_pig_spark.incremental import all_bands
+
     bands = stage(
         "bands",
-        lambda: bands_stage(signatures, cfg, "text")
-        .unionByName(bands_stage(signatures, cfg, "audio"))
-        .unionByName(
-            signatures.select("clip_id", F.col("exact_key").alias("band_key"))
-        ),
+        lambda: all_bands(signatures, cfg),
         materialize=False,
     )
 
