@@ -71,7 +71,13 @@ def _replay_events(
     # ONE scan + one shuffle for all slices (was: n_slices filtered scans):
     # repartitioning BY the slice value puts every slice's rows into exactly
     # one task, partitionBy splits hash-colliding slices into their own
-    # directories, and the event_id sort pins a deterministic row order
+    # directories, and the event_id sort pins a deterministic row order.
+    # r8: only the columns the stateful op consumes (plus event_id for the
+    # deterministic sort) are sliced/replayed — the raw table also carries
+    # ts + a props payload the stream never reads (guide §2.3: project
+    # before the exchange; the write, the per-trigger getBatch scan and the
+    # Arrow transfer all shrink with it)
+    events = events.select("event_id", "event_type", "user_id", "value")
     slices_dir = os.path.join(base, "slices")
     (
         events.withColumn(
