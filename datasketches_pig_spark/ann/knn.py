@@ -415,9 +415,12 @@ def ivf_topk(
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    # no pair dedup needed: the corpus side is assigned with n_probe=1 (one
+    # centroid row per vector) and a query's probed centroids are distinct
+    # (argsort indices), so each (query_id, vec_id) joins at most once — the
+    # r7 groupBy-max here was an identity that cost a full exchange + agg
     return (
-        scored.groupBy("query_id", "vec_id").agg(F.max("cosine").alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
