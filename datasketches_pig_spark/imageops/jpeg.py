@@ -836,15 +836,21 @@ def _category(v: np.ndarray) -> np.ndarray:
 
 
 def _encode_component_blocks(
-    zz: np.ndarray, wr: _BitWriter, dc_tab, ac_tab, pred: int
+    zz: np.ndarray, wr: _BitWriter, dc_tab, ac_tab, pred: int, cats=None
 ) -> int:
-    """zz: (n_blocks, 64) quantized zigzag coefficients; returns new DC pred."""
-    cats = _category(zz)
+    """zz: (n_blocks, 64) quantized zigzag coefficients; returns new DC pred.
+
+    ``cats``: precomputed ``_category(zz)`` — the interleaved encoder calls
+    this once per BLOCK, so computing categories per call cost a fresh numpy
+    pass per 1×64 slice (a third of encode time profiled); the DC-diff size
+    is ``|diff|.bit_length()``, identical to the category formula for ints."""
+    if cats is None:
+        cats = _category(zz)
     for bi in range(zz.shape[0]):
         row = zz[bi]
         diff = int(row[0]) - pred
         pred = int(row[0])
-        size = int(_category(np.array([diff]))[0])
+        size = (diff if diff >= 0 else -diff).bit_length()
         code, length = dc_tab[size]
         wr.write(code, length)
         if size:
@@ -999,9 +1005,11 @@ def jpeg_encode(
     sos += b"\x00\x3f\x00"
     out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + bytes(sos)
 
-    # interleaved MCU entropy data
+    # interleaved MCU entropy data (categories precomputed once per
+    # component — see _encode_component_blocks)
     wr = _BitWriter()
     preds = [0, 0, 0]
+    comp_cats = [_category(zz) for (zz, *_rest) in comp_zz]
     for m in range(mcux * mcuy):
         my, mx = divmod(m, mcux)
         for ci, (zz, by, bx, sh, sv) in enumerate(comp_zz):
@@ -1009,7 +1017,12 @@ def jpeg_encode(
                 for hh in range(sh):
                     bi = (my * sv + v) * bx + (mx * sh + hh)
                     preds[ci] = _encode_component_blocks(
-                        zz[bi : bi + 1], wr, dc_tabs[ci], ac_tabs[ci], preds[ci]
+                        zz[bi : bi + 1],
+                        wr,
+                        dc_tabs[ci],
+                        ac_tabs[ci],
+                        preds[ci],
+                        cats=comp_cats[ci][bi : bi + 1],
                     )
     wr.flush()
     out += wr.bytes
